@@ -376,6 +376,233 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Crawl machinery on testdata (SURVEY §1.4, §2.3, §2.5 W5; north_rule ops)
+# The documents table stands in for the frontier world: host/category/depth
+# derived deterministically from its columns so DuckDB can mirror exactly.
+# --------------------------------------------------------------------------
+
+_CATEGORY_CASE_SQL = """CASE lang WHEN 'en' THEN 'Luat' WHEN 'de' THEN 'Nghi-dinh'
+           WHEN 'fr' THEN 'Thong-tu' WHEN 'es' THEN 'Quyet-dinh' ELSE 'Nghi-quyet' END"""
+
+_FRONTIER_SQL = f"""
+    SELECT doc_id,
+           'host' || CAST(doc_id % 7 AS VARCHAR) AS host,
+           {_CATEGORY_CASE_SQL} AS category,
+           CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 2
+                WHEN 'es' THEN 3 ELSE 4 END AS category_priority,
+           CAST(doc_id % 4 AS INT) AS depth,
+           lower('https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example.vn')
+             || '/van-ban/' || {_CATEGORY_CASE_SQL} || '/doc-' || CAST(doc_id AS VARCHAR) || '.aspx'
+             AS canonical_url
+    FROM documents
+"""
+
+_LANG_TO_CATEGORY = {"en": "Luat", "de": "Nghi-dinh", "fr": "Thong-tu", "es": "Quyet-dinh", "zh": "Nghi-quyet"}
+
+
+def _frontier_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a frontier-shaped DataFrame from the documents table, routing
+    the raw URL through the engine's real canonicalize_url (messy input:
+    uppercase scheme/host, default port, fragment)."""
+    docs = load(spark, sf_dir, "documents")
+    category = F.lit(None).cast("string")
+    for lang, cat in _LANG_TO_CATEGORY.items():
+        category = F.when(F.col("lang") == lang, cat).otherwise(category)
+    raw_url = F.concat(
+        F.lit("HTTPS://Host"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.VN:443/van-ban/"),
+        category,
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit(".aspx#noi-dung"),
+    )
+    fr = docs.select(
+        "doc_id",
+        F.concat(F.lit("host"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        category.alias("category"),
+        (F.col("doc_id") % 4).cast("int").alias("depth"),
+        U.canonicalize_url(raw_url).alias("canonical_url"),
+    )
+    return fr.withColumn("category_priority", U.category_priority(F.col("category")))
+
+
+@register(
+    "url_canonicalize",
+    f"""
+    SELECT doc_id, canonical_url, md5(canonical_url) AS url_fp, host
+    FROM ({_FRONTIER_SQL})
+    ORDER BY doc_id
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (SURVEY §2.8 F14, M1): messy raw URL →
+    canonical form via pure column regexes; md5 fingerprint for oracle
+    parity (engine-internal seen-set uses xxhash64, pytest-checked)."""
+    fr = _frontier_from_documents(spark, sf_dir)
+    return fr.select(
+        "doc_id",
+        "canonical_url",
+        F.md5("canonical_url").alias("url_fp"),
+        "host",
+    ).orderBy("doc_id")
+
+
+@register(
+    "frontier_rank",
+    f"""
+    SELECT host, doc_id, canonical_url, rnk FROM (
+      SELECT host, doc_id, canonical_url,
+             row_number() OVER (PARTITION BY host
+                 ORDER BY category_priority, depth, md5(canonical_url)) AS rnk
+      FROM ({_FRONTIER_SQL}))
+    WHERE rnk <= 20
+    ORDER BY host, rnk
+    """,
+)
+def frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-ranked frontier snapshot (north_rule priority queue,
+    SURVEY §2.5 W5): per-host row_number over (category_priority, depth,
+    url-fingerprint tiebreak) → top-20-per-host fetch budget. The
+    fingerprint tiebreak gives a deterministic total order under any
+    parallelism."""
+    fr = _frontier_from_documents(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy("category_priority", "depth", F.md5("canonical_url"))
+    return (
+        fr.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("host", "doc_id", "canonical_url", "rnk")
+        .orderBy("host", "rnk")
+    )
+
+
+@register(
+    "politeness_schedule",
+    f"""
+    WITH ranked AS (
+      SELECT host, doc_id,
+             row_number() OVER (PARTITION BY host
+                 ORDER BY category_priority, depth, md5(canonical_url)) AS rnk,
+             1.0 + (CAST(doc_id % 7 AS INT) % 3) AS crawl_delay
+      FROM ({_FRONTIER_SQL}))
+    SELECT host, doc_id, rnk, round((rnk - 1) * crawl_delay, 1) AS fetch_slot_s
+    FROM ranked ORDER BY host, rnk
+    """,
+)
+def politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Virtual-clock politeness scheduler (north_rule; generalizes the
+    reference's sleep(1) loop, upload_documents.py:129): k-th fetch of a
+    host happens at (k-1)*crawl_delay. Deterministic — no wall clock —
+    so the schedule itself is testable and bench-valid."""
+    fr = _frontier_from_documents(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy("category_priority", "depth", F.md5("canonical_url"))
+    delay = 1.0 + ((F.col("doc_id") % 7).cast("int") % 3)
+    return (
+        fr.withColumn("rnk", F.row_number().over(w))
+        .withColumn("fetch_slot_s", F.round((F.col("rnk") - 1) * delay, 1))
+        .select("host", "doc_id", "rnk", "fetch_slot_s")
+        .orderBy("host", "rnk")
+    )
+
+
+@register(
+    "seen_antijoin",
+    f"""
+    WITH frontier AS ({_FRONTIER_SQL}),
+         seen AS (SELECT canonical_url FROM frontier WHERE doc_id % 3 = 0)
+    SELECT f.host, count(*) AS pending
+    FROM frontier f
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canonical_url = f.canonical_url)
+    GROUP BY f.host ORDER BY f.host
+    """,
+)
+def seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-seen exact dedup as left-anti join (SURVEY §2.7 U4): the
+    authority behind the bloom prefilter — false positives impossible.
+    At 10^10 scale both sides hash-partition on canonical_url; AQE picks
+    sort-merge with skew splitting."""
+    fr = _frontier_from_documents(spark, sf_dir)
+    seen = fr.filter(F.col("doc_id") % 3 == 0).select("canonical_url")
+    return (
+        fr.join(seen, "canonical_url", "left_anti")
+        .groupBy("host")
+        .agg(F.count("*").alias("pending"))
+        .orderBy("host")
+    )
+
+
+@register(
+    "spans_build",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INT) AS nt
+      FROM documents),
+    t AS (
+      SELECT doc_id, unnest(generate_series(0, nt - 1)) AS i, ws, nt FROM base),
+    text_spans AS (
+      SELECT doc_id,
+             CAST(i + (i // 4) AS INT) AS "offset",
+             'text' AS kind,
+             array_to_string(ws[(i*12)+1 : least((i+1)*12, len(ws))], ' ') AS text,
+             '' AS media_ref
+      FROM t),
+    m AS (
+      SELECT doc_id, unnest(generate_series(1, nt // 4)) AS j FROM base WHERE nt >= 4),
+    media_spans AS (
+      SELECT doc_id, CAST(j * 5 - 1 AS INT) AS "offset", 'media' AS kind, '' AS text,
+             'https://tvpl-media.s3.ap-southeast-1.amazonaws.com/' || CAST(doc_id AS VARCHAR)
+               || '/page_' || CAST(j AS VARCHAR) || '.pdf' AS media_ref
+      FROM m)
+    SELECT * FROM text_spans UNION ALL SELECT * FROM media_spans
+    ORDER BY doc_id, "offset"
+    """,
+)
+def spans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+media span construction (input_hint payload;
+    SURVEY §1.4): documents → exploded (doc_id, offset, kind, text,
+    media_ref) rows. Media refs follow the reference's S3 permanent-URL
+    scheme (upload_pdf_to_s3.py:79-80)."""
+    from .operators.spans import explode_to_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return explode_to_spans(docs).select("doc_id", "offset", "kind", "text", "media_ref").orderBy("doc_id", "offset")
+
+
+@register(
+    "spans_roundtrip_stats",
+    """
+    WITH base AS (
+      SELECT doc_id, CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INT) AS nt
+      FROM documents)
+    SELECT doc_id,
+           CAST(nt + (nt // 4) AS BIGINT) AS n_spans,
+           CAST(nt // 4 AS BIGINT) AS n_media,
+           CAST(nt + (nt // 4) - 1 AS BIGINT) AS max_offset
+    FROM base ORDER BY doc_id
+    """,
+)
+def spans_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: explode → assemble into spans:array<struct> (sorted by
+    offset) → re-explode → per-doc stats. Exercises the full span model
+    incl. sort_array re-assembly (SURVEY §7 hard-part (e))."""
+    from .operators.spans import assemble_spans, explode_to_spans, spans_to_rows
+
+    docs = load(spark, sf_dir, "documents")
+    assembled = assemble_spans(explode_to_spans(docs))
+    rows = spans_to_rows(assembled)
+    return (
+        rows.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("kind") == "media").cast("bigint")).alias("n_media"),
+            F.max("offset").cast("bigint").alias("max_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
