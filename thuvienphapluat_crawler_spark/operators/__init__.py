@@ -1,1 +1,1 @@
-from . import spans  # noqa: F401
+from . import dedup, similarity, spans, textstats  # noqa: F401

@@ -1,0 +1,185 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each):
+  exact     — one hash-groupBy on a fingerprint column; the 100 TB plan is
+              a single shuffle on md5(text), map-side combined.
+  jaccard   — shingle explode → shingle-equi-join to generate candidate
+              pairs (never a cross join), then exact set similarity on the
+              candidates only.
+  minhash   — K portable hash permutations folded per doc (one explode +
+              one groupBy), banded into LSH buckets; candidate pairs come
+              from a self-join on (band, band_hash) — the classic
+              shuffle-friendly near-dup layout: cost is O(docs·K) + bucket
+              joins, not O(docs²).
+  simhash   — 32-bit sign-sum sketch per doc; near-dups = equal sketch (or
+              low Hamming distance via band rotation).
+
+All arithmetic is engine-portable (md5-derived token hashes, explicit
+(a·h+b) mod p permutations with p=2^31-1) so a SQL oracle reproduces the
+signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import doc_fingerprint, token_hash32, tokens
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+MINHASH_K = 16
+MINHASH_BANDS = 4  # 4 rows per band
+
+_rng = np.random.RandomState(42)
+MINHASH_A: list[int] = [int(x) for x in _rng.randint(1, MINHASH_P, size=MINHASH_K)]
+MINHASH_B: list[int] = [int(x) for x in _rng.randint(0, MINHASH_P, size=MINHASH_K)]
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical (normalized) texts: fingerprint → (keeper, dup_count)."""
+    return (
+        docs.withColumn("fp", doc_fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def doc_token_hashes(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, h) — one row per DISTINCT token hash per doc."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+        .select("doc_id", token_hash32(F.col("tok")).alias("h"))
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc MinHash signature columns sig0..sig{K-1}:
+    sig_k = min((a_k·(h mod p) + b_k) mod p) over the doc's token hashes."""
+    th = doc_token_hashes(docs, id_col, text_col)
+    hm = F.col("h") % MINHASH_P
+    aggs = [
+        F.min((hm * F.lit(MINHASH_A[k]) + F.lit(MINHASH_B[k])) % MINHASH_P).alias(f"sig{k}")
+        for k in range(MINHASH_K)
+    ]
+    return th.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_bands(sigs: DataFrame) -> DataFrame:
+    """Signature → (doc_id, band, band_hash): md5 over each band's rows."""
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    out = []
+    for b in range(MINHASH_BANDS):
+        cols = [F.col(f"sig{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        out.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Docs sharing any LSH band bucket → distinct (doc_a < doc_b) pairs.
+    Self-join on (band, band_hash): the shuffle key is the bucket, so
+    hot buckets are the skew to watch — AQE skew-join splits them."""
+    l = bands.alias("l")
+    r = bands.alias("r")
+    return (
+        l.join(r, ["band", "band_hash"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(pairs: DataFrame, token_hashes: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs from per-doc token-hash sets."""
+    sizes = token_hashes.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = token_hashes.select(F.col("doc_id").alias("doc_a"), "h")
+    tb = token_hashes.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+        )
+    )
+
+
+def shingles(text, n: int = 3):
+    """Word n-gram shingle array from a text column (distinct)."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_col: str | None = None,
+    threshold: float = 0.1,
+    n: int = 3,
+) -> DataFrame:
+    """Shingle-join near-dup: explode distinct shingles, equi-join on the
+    shingle (+ optional bucket) to form candidates, exact Jaccard ≥ τ."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *( [F.col(bucket_col).alias("bucket")] if bucket_col else [] ),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    sizes = base.select("doc_id", F.size("sh").alias("n"))
+    ex = base.select("doc_id", *(["bucket"] if bucket_col else []), F.explode("sh").alias("s"))
+    keys = (["bucket"] if bucket_col else []) + ["s"]
+    l = ex.alias("l")
+    r = ex.alias("r")
+    inter = (
+        l.join(r, keys)
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash: per bit, sum +1/-1 over distinct token hashes; bit
+    set iff sum > 0. One explode over (tokens × 32 bits) then two
+    aggregations — linear in corpus size."""
+    th = doc_token_hashes(docs, id_col, text_col)
+    bits = th.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+    )
+    bitvals = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
+    return bitvals.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))).alias("simhash")
+    )

@@ -1,0 +1,106 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  brute force — exact cosine top-k. The queries side is tiny (top-k for a
+      handful of probes) → broadcast the queries, stream the corpus once:
+      cost O(|corpus|·|queries|·dim) with NO shuffle of the corpus.
+  LSH (random hyperplanes) — sign-bit bucket per vector from D seeded
+      hyperplanes; candidates share a bucket → top-k within bucket. The
+      scale path: one narrow map to bucket ids, then a bucket-equi-join.
+
+Cosine is computed with explicit fold arithmetic (dot/(√aa·√bb)) in
+float64, summing in index order, so a SQL oracle (list_inner_product)
+reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+LSH_PLANES = 8
+LSH_DIM = 64
+
+_rng = np.random.RandomState(7)
+# fixed hyperplanes, embedded as literals (same constants go into the SQL oracle)
+HYPERPLANES: list[list[float]] = [
+    [round(float(v), 6) for v in _rng.randn(LSH_DIM)] for _ in range(LSH_PLANES)
+]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the probe set against the corpus."""
+    vecs = emb.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("ne"))
+    queries = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe"))
+    )
+    sims = (
+        vecs.join(F.broadcast(queries), F.col("nid") != F.col("qid"))
+        .withColumn("sim", F.round(cosine(F.col("qe"), F.col("ne")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "nid")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"), F.col("rnk").alias("rank"))
+    )
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """Random-hyperplane signature: bit p set iff <v, plane_p> > 0."""
+    sig = F.lit(0)
+    for p, plane in enumerate(HYPERPLANES):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.when(_dot(vec, plane_col) > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the query's LSH
+    bucket. One narrow bucket-id projection + bucket equi-join — the
+    shape that survives 10^9-vector corpora (bucket is the shuffle key)."""
+    vecs = emb.select(
+        F.col(id_col).alias("nid"),
+        as_double(F.col(vec_col)).alias("ne"),
+    ).withColumn("bucket", lsh_bucket(F.col("ne")))
+    queries = (
+        vecs.filter(F.col("nid").isin(query_ids))
+        .select(F.col("nid").alias("qid"), F.col("ne").alias("qe"), "bucket")
+    )
+    sims = (
+        vecs.join(F.broadcast(queries), "bucket")
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn("sim", F.round(cosine(F.col("qe"), F.col("ne")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "nid")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"), F.col("rnk").alias("rank"))
+    )

@@ -1,0 +1,90 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (marker-token voting), quality scoring (length / stopword /
+type-token ratios), token counting, and document fingerprinting — all as
+pure column expressions (JVM-side, whole-stage codegen; no Python UDFs),
+so at 100 TB they run inside the scan stage with zero extra shuffles
+beyond the final aggregation.
+
+Token hashing uses the first 8 hex digits of md5 — engine-portable
+(identical in Spark and any SQL oracle), unlike murmur3 whose seeding
+differs per engine. The crawl seen-set still uses xxhash64 internally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and")
+
+# marker-token votes per language for the n-gram-heuristic language ID;
+# first match in this order wins ties (deterministic argmax).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a"),
+    "query": ("query", "filter", "scan"),
+    "data": ("data", "table", "column"),
+    "exec": ("join", "merge", "sort"),
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_hash32(token: Column) -> Column:
+    """Portable 32-bit token hash: int(md5(token)[:8], 16)."""
+    return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
+
+
+def count_token(toks: Column, word: str) -> Column:
+    return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint (reference analogue: the
+    seen-set identity of crawler.py:131-136): md5 of the
+    whitespace-normalized, lowercased text."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality metrics: token count, char count, mean token length,
+    stopword ratio, type-token ratio. All rounded at the edge."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return (
+        df.withColumn("n_tokens", n_tok.cast("bigint"))
+        .withColumn("n_chars", F.length(text_col).cast("bigint"))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.aggregate(tokens(F.col(text_col)), F.lit(0.0), lambda acc, t: acc + F.length(t))
+                / n_tok,
+                4,
+            ),
+        )
+        .withColumn("stopword_ratio", F.round(stop_hits / n_tok, 4))
+        .withColumn("type_token_ratio", F.round(F.size(F.array_distinct(toks)) / n_tok, 4))
+    )
+
+
+def lang_id_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-vote language ID: score per language = total occurrences of
+    its marker tokens; argmax with fixed tie order (greatest-first chain)."""
+    toks = tokens(F.col(text_col))
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        score = F.lit(0)
+        for m in markers:
+            score = score + count_token(toks, m)
+        out = out.withColumn(f"score_{lang}", score)
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"score_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"score_{lang}")).otherwise(best_score)
+    return out.withColumn("lang_pred", best)

@@ -603,6 +603,343 @@ def spans_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Training-data pipeline ops: dedup / text analysis / similarity search
+# (first-class per the brief; documents + embeddings tables)
+# --------------------------------------------------------------------------
+
+from .operators import dedup as D  # noqa: E402
+from .operators import similarity as S  # noqa: E402
+from .operators import textstats as X  # noqa: E402
+
+# Shared SQL fragments (DuckDB dialect) mirroring the Spark operators.
+_NORM_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+_WS_SQL = "string_split_regex(trim(text), '\\s+')"
+_TOKHASH_SQL = "CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+# Corpus with deterministic near/exact duplicates injected so dedup output
+# is non-trivial: +1M ids = near-dup (one appended token), +2M ids = exact.
+_AUG_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + 1000000, text || ' dupmarker' FROM documents
+    UNION ALL SELECT doc_id + 2000000, text FROM documents
+"""
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), F.concat("text", F.lit(" dupmarker")).alias("text"))
+    exact = docs.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    return docs.unionByName(near).unionByName(exact)
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT {_NORM_SQL} AS fp, min(doc_id) AS keeper_id, count(*) AS dup_count
+    FROM ({_AUG_SQL}) GROUP BY fp ORDER BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text fingerprint. One
+    shuffle on the fingerprint; at 100 TB the fingerprint is computed in
+    the scan stage and only (fp, id) shuffles — never the text."""
+    return D.exact_dedup_groups(_augmented_docs(spark, sf_dir)).orderBy("fp")
+
+
+@register(
+    "docs_fingerprint",
+    f"""
+    SELECT doc_id, {_NORM_SQL} AS fp,
+           CAST(len({_WS_SQL}) AS BIGINT) AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint + token count (SURVEY §2.8 F14 analogue)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.doc_fingerprint(F.col("text")).alias("fp"),
+        F.size(X.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_WS_SQL} AS ws FROM documents)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           round(list_sum(list_transform(ws, t -> length(t))) * 1.0 / len(ws), 4) AS avg_token_len,
+           round(len(list_filter(ws, t -> t IN ('the','a','of','and'))) * 1.0 / len(ws), 4) AS stopword_ratio,
+           round(len(list_distinct(ws)) * 1.0 / len(ws), 4) AS type_token_ratio
+    FROM t ORDER BY doc_id
+    """,
+)
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token/char counts, mean token length, stopword and
+    type-token ratios — pure column expressions in the scan stage."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.quality_columns(docs).drop("text").orderBy("doc_id")
+
+
+def _lang_id_oracle() -> str:
+    score_cols = []
+    for lang, markers in X.LANG_MARKERS.items():
+        parts = " + ".join(f"len(list_filter(ws, t -> t = '{m}'))" for m in markers)
+        score_cols.append(f"CAST({parts} AS BIGINT) AS score_{lang}")
+    langs = list(X.LANG_MARKERS)
+    name_expr, score_expr = f"'{langs[0]}'", f"score_{langs[0]}"
+    for lang in langs[1:]:
+        name_expr = f"CASE WHEN score_{lang} > ({score_expr}) THEN '{lang}' ELSE ({name_expr}) END"
+        score_expr = f"CASE WHEN score_{lang} > ({score_expr}) THEN score_{lang} ELSE ({score_expr}) END"
+    return f"""
+    WITH t AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+         s AS (SELECT doc_id, {", ".join(score_cols)} FROM t)
+    SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+           {name_expr} AS lang_pred
+    FROM s ORDER BY doc_id
+    """
+
+
+@register("docs_lang_id", _lang_id_oracle())
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token-vote language ID (n-gram heuristic family)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = X.lang_id_columns(docs).drop("text")
+    score_cols = [F.col(f"score_{lang}").cast("bigint").alias(f"score_{lang}") for lang in X.LANG_MARKERS]
+    return out.select("doc_id", *score_cols, "lang_pred").orderBy("doc_id")
+
+
+def _minhash_sig_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min(((h % {D.MINHASH_P}) * {D.MINHASH_A[k]} + {D.MINHASH_B[k]}) % {D.MINHASH_P}) AS sig{k}"
+        for k in range(D.MINHASH_K)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(list_distinct({_WS_SQL})) AS tok FROM documents),
+         th AS (SELECT DISTINCT doc_id, {_TOKHASH_SQL} AS h FROM toks)
+    SELECT doc_id, {sig_cols} FROM th GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("docs_minhash_sigs", _minhash_sig_oracle())
+def docs_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: K=16 portable (a·h+b mod p) permutations over
+    distinct token hashes — one explode + one groupBy, linear in corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs).orderBy("doc_id")
+
+
+def _minhash_lsh_oracle() -> str:
+    rows_per_band = D.MINHASH_K // D.MINHASH_BANDS
+    sig_cols = ", ".join(
+        f"min(((h % {D.MINHASH_P}) * {D.MINHASH_A[k]} + {D.MINHASH_B[k]}) % {D.MINHASH_P}) AS sig{k}"
+        for k in range(D.MINHASH_K)
+    )
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band,
+            md5({" || ',' || ".join(f"CAST(sig{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band))}) AS band_hash
+            FROM sigs"""
+        for b in range(D.MINHASH_BANDS)
+    )
+    return f"""
+    WITH corpus AS ({_AUG_SQL}),
+         toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok FROM corpus),
+         th AS (SELECT DISTINCT doc_id, {_TOKHASH_SQL} AS h FROM toks),
+         sigs AS (SELECT doc_id, {sig_cols} FROM th GROUP BY doc_id),
+         bands AS ({band_selects}),
+         pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                   FROM bands l JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+                   WHERE l.doc_id < r.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+         inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+                   FROM pairs p JOIN th a ON a.doc_id = p.doc_a JOIN th b ON b.doc_id = p.doc_b AND b.h = a.h
+                   GROUP BY p.doc_a, p.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 4) >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("docs_minhash_lsh_pairs", _minhash_lsh_oracle())
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection end-to-end: signatures → 4-row bands
+    → bucket self-join candidates → exact Jaccard ≥ 0.5 verification.
+    Candidate generation is a bucket equi-join (never O(n²)); hot buckets
+    are the skew case AQE splits."""
+    corpus = _augmented_docs(spark, sf_dir)
+    sigs = D.minhash_signatures(corpus)
+    pairs = D.lsh_candidate_pairs(D.minhash_bands(sigs))
+    th = D.doc_token_hashes(corpus)
+    return (
+        D.jaccard_on_pairs(pairs, th)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "docs_ngram_jaccard",
+    """
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, source, text || ' dupmarker' FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(ws[i:i+2], ' ')
+                            for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS s
+      FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws FROM corpus)),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    ex AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+    inter AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_inter
+      FROM ex l JOIN ex r ON l.source = r.source AND l.g = r.g
+      WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 4) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup, bucketed by source so the shingle
+    join never crosses buckets (SURVEY-style partition discipline)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    near = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.concat("text", F.lit(" dupmarker")).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    return (
+        D.ngram_jaccard_pairs(corpus, bucket_col="source", threshold=0.8, n=3)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "docs_simhash",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest(list_distinct({_WS_SQL})) AS tok FROM documents),
+         th AS (SELECT DISTINCT doc_id, {_TOKHASH_SQL} AS h FROM toks),
+         bits AS (SELECT doc_id, h, unnest(generate_series(0, 31)) AS bit FROM th),
+         contrib AS (SELECT doc_id, bit,
+                            sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                     FROM bits GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM contrib GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash sketch per document (sign-sum over token-hash bits)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash32(docs).orderBy("doc_id")
+
+
+@register(
+    "docs_simhash_hamming",
+    f"""
+    WITH corpus AS ({_AUG_SQL}),
+         toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok FROM corpus),
+         th AS (SELECT DISTINCT doc_id, {_TOKHASH_SQL} AS h FROM toks),
+         bits AS (SELECT doc_id, h, unnest(generate_series(0, 31)) AS bit FROM th),
+         contrib AS (SELECT doc_id, bit,
+                            sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                     FROM bits GROUP BY doc_id, bit),
+         sh AS (SELECT doc_id,
+                       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+                FROM contrib GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+    ORDER BY doc_a
+    """,
+)
+def docs_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup check: Hamming distance between each doc and its
+    injected near-duplicate (expected small)."""
+    corpus = _augmented_docs(spark, sf_dir)
+    sh = D.simhash32(corpus)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1000000)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("bigint").alias("hamming"),
+        )
+        .orderBy("doc_a")
+    )
+
+
+_KNN_QUERY_IDS = list(range(10))
+
+
+@register(
+    "emb_knn_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+               WHERE vec_id IN ({", ".join(map(str, _KNN_QUERY_IDS))})),
+         c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ne FROM embeddings),
+         sims AS (SELECT qid, nid,
+                         round(list_inner_product(qe, ne) /
+                               (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(ne, ne))), 6) AS sim
+                  FROM q, c WHERE nid != qid)
+    SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank FROM (
+      SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM sims)
+    WHERE rnk <= 5 ORDER BY query_id, rank
+    """,
+)
+def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 probe vectors: broadcast probes, single
+    scan of the corpus, per-probe top-k window. No corpus shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
+
+
+def _lsh_ann_oracle() -> str:
+    plane_exprs = []
+    for p, plane in enumerate(S.HYPERPLANES):
+        lits = ", ".join(repr(x) for x in plane)
+        plane_exprs.append(
+            f"CASE WHEN list_inner_product(ne, [{lits}]::DOUBLE[]) > 0 THEN {2**p} ELSE 0 END"
+        )
+    sig = " + ".join(plane_exprs)
+    return f"""
+    WITH c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ne FROM embeddings),
+         bucketed AS (SELECT nid, ne, {sig} AS bucket FROM c),
+         q AS (SELECT nid AS qid, ne AS qe, bucket FROM bucketed
+               WHERE qid IN ({", ".join(map(str, _KNN_QUERY_IDS))})),
+         sims AS (SELECT q.qid, b.nid,
+                         round(list_inner_product(q.qe, b.ne) /
+                               (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(b.ne, b.ne))), 6) AS sim
+                  FROM q JOIN bucketed b ON q.bucket = b.bucket AND b.nid != q.qid)
+    SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank FROM (
+      SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM sims)
+    WHERE rnk <= 5 ORDER BY query_id, rank
+    """
+
+
+@register("emb_knn_lsh", _lsh_ann_oracle())
+def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH buckets: candidates share
+    an 8-bit signature; exact cosine only within the bucket. The
+    bucket-id projection is one narrow map; candidate join keys on the
+    bucket — the layout that scales to 10^9 vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_ann_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
