@@ -19,8 +19,11 @@ from thuvienphapluat_crawler_spark import queries as Q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return Q.QUERIES["q3_top_orders"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the window-ranked frontier
+    snapshot (north_rule priority queue) — canonicalized URLs ranked per
+    host by (category_priority, depth, fingerprint) under a per-host
+    budget. Driver checks rows>0."""
+    return Q.QUERIES["frontier_rank"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

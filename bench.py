@@ -1,0 +1,111 @@
+"""Benchmark driver: headline queries + crawl-engine throughput.
+
+Runs every headline query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the `noop` format so the full plan
+(including every output column) executes without sink I/O. The crawl
+engine runs a fixed synthetic world end-to-end; its URLs-fetched+deduped
+per second is reported alongside (the BASELINE.json north metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from thuvienphapluat_crawler_spark import queries as Q
+from thuvienphapluat_crawler_spark.session import get_spark
+
+# quadratic-on-this-corpus pair queries excluded from the headline set
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q6_revenue_delta",
+    "q4_order_priority",
+    "top_orders_per_customer",
+    "customer_running_total",
+    "rollup_returns",
+    "events_pivot_by_type",
+    "events_hourly_stats",
+    "events_sessionize",
+    "url_canonicalize",
+    "frontier_rank",
+    "politeness_schedule",
+    "seen_antijoin",
+    "spans_build",
+    "spans_roundtrip_stats",
+    "dedup_exact",
+    "docs_fingerprint",
+    "docs_quality",
+    "docs_lang_id",
+    "docs_minhash_sigs",
+    "docs_simhash",
+    "emb_knn_bruteforce",
+    "emb_knn_lsh",
+]
+
+BENCH_WORLD = dict(n_hosts=16, base_size=300, links_per_page=4, budget_per_host=25, max_epochs=4)
+
+
+def run_crawl_bench(spark) -> tuple[float, int]:
+    from thuvienphapluat_crawler_spark.plans.frontier import CrawlEngine
+    from thuvienphapluat_crawler_spark.sources.synthetic_web import World
+
+    root = tempfile.mkdtemp(prefix="tvpl_bench_wh_")
+    try:
+        engine = CrawlEngine(spark, World(**BENCH_WORLD), root, n_buckets=16)
+        t0 = time.perf_counter()
+        engine.run()
+        n = engine.crawl_log().count()
+        dt = time.perf_counter() - t0
+        return dt, n
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="tvpl-bench", cpus=cpus)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    crawl_s, crawl_urls = run_crawl_bench(spark)
+    timings["crawl_engine"] = round(crawl_s, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite + crawl engine wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "crawl_urls_fetched": crawl_urls,
+                "crawl_urls_per_sec": round(crawl_urls / crawl_s, 2),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

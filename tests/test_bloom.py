@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+import numpy as np
+
+from thuvienphapluat_crawler_spark.operators.bloom import (
+    BloomFilter,
+    load_bucket,
+    probe_bucket,
+    update_bucket,
+)
+
+
+def test_no_false_negatives():
+    f = BloomFilter.for_capacity(10_000)
+    keys = np.arange(10_000, dtype=np.int64) * 2_654_435_761
+    f.add(keys)
+    assert f.contains(keys).all()
+
+
+def test_false_positive_rate_sane():
+    f = BloomFilter.for_capacity(10_000)
+    rng = np.random.RandomState(0)
+    inserted = rng.randint(-(2**62), 2**62, size=10_000).astype(np.int64)
+    f.add(inserted)
+    probes = rng.randint(-(2**62), 2**62, size=50_000).astype(np.int64)
+    fresh = np.setdiff1d(probes, inserted)
+    fpr = f.contains(fresh).mean()
+    assert fpr < 0.05, f"FPR too high: {fpr}"
+
+
+def test_empty_filter_rejects_all():
+    f = BloomFilter.for_capacity(100)
+    assert not f.contains(np.array([1, 2, 3], dtype=np.int64)).any()
+
+
+def test_persistence_walkback(tmp_path):
+    root = str(tmp_path)
+    k0 = np.array([1, 2, 3], dtype=np.int64)
+    k5 = np.array([100, 200], dtype=np.int64)
+    update_bucket(root, bucket=2, epoch=0, keys=k0)
+    update_bucket(root, bucket=2, epoch=5, keys=k5)
+    # probe at epoch 3 sees only epoch-0 content (walk-back)
+    assert probe_bucket(root, 2, 3, k0).all()
+    assert not probe_bucket(root, 2, 3, k5).any()
+    # probe at epoch 5+ sees both (update chains from the previous file)
+    assert probe_bucket(root, 2, 7, np.concatenate([k0, k5])).all()
+    # unknown bucket → all definitely-new
+    assert not probe_bucket(root, 4, 7, k0).any()
+
+
+def test_crashed_epoch_not_compounded(tmp_path):
+    root = str(tmp_path)
+    update_bucket(root, 0, epoch=0, keys=np.array([1], dtype=np.int64))
+    # a "crashed" epoch-1 write that was never committed
+    update_bucket(root, 0, epoch=1, keys=np.array([999], dtype=np.int64))
+    # re-run of epoch 1 bases on epoch 0, not the crashed file
+    update_bucket(root, 0, epoch=1, keys=np.array([2], dtype=np.int64))
+    f = load_bucket(root, 0, 1)
+    assert f.contains(np.array([1, 2], dtype=np.int64)).all()

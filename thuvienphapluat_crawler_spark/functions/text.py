@@ -80,7 +80,9 @@ def postprocess_text(text: Column) -> Column:
     out = text
     for pat, rep in POSTPROCESS_STEPS:
         out = F.regexp_replace(out, pat, rep)
-    return F.ltrim(out)
+    # Spark's ltrim strips spaces only; the reference lstrips all
+    # whitespace incl. newlines (pipeline.py:382)
+    return F.regexp_replace(out, r"^\s+", "")
 
 
 def merge_lines_to_paragraphs(

@@ -1,0 +1,423 @@
+"""The crawl engine: window-ranked frontier generations with politeness,
+bloom-prefiltered exact dedup, interleaved span emission, and atomic
+epoch commits with per-partition lineage + metrics.
+
+One epoch (the distributed generalization of the reference's sequential
+URL→fetch→extract→write pipeline, pipeline.py:387-435, and its per-page
+checkpoint loop, ocr/ocr_pdf.py:158-195):
+
+  frontier ──anti-join log──▶ pending ──window rank──▶ budgeted batch
+      │                                                     │
+      │                              groupBy(host).applyInPandas (politeness:
+      │                              one task per host, virtual-clock slots)
+      │                                                     ▼
+      │                                   crawl_log (status, attempts, slot)
+      │                                           ok rows ──┬─ parse → spans → docs
+      │                                                     └─ outlinks
+      │                                                          ▼
+      seen ◀──bloom prefilter + exact left-anti join── candidate URLs
+      frontier += confirmed-new (depth+1, discovered_epoch = e+1)
+      checkpoints += per-bucket metrics;  ONE atomic manifest commit
+
+Scale notes (the 100 TB story):
+  * frontier/seen deltas are written partitioned by host_bucket → epoch
+    reads prune to live buckets; the rank window shuffles on host once.
+  * the seen anti-join keys on url_fp — at 10^10 rows AQE picks
+    sort-merge and splits skewed buckets; the bloom prefilter removes
+    the vast majority of candidates BEFORE that shuffle (negatives are
+    guaranteed-new, no join needed).
+  * politeness = groupBy(host) → exactly one concurrent task per host;
+    Zipf-hot hosts bound epoch duration via the budget, not via a
+    straggler task fetching the whole host.
+  * all Python stages are Arrow-batched pandas UDFs (fetch simulation,
+    parse, bloom) — no row-at-a-time UDFs anywhere.
+  * determinism: every ordering is (category_priority, depth, url_fp) —
+    no wall clock, no task-order dependence; the same world crawls
+    identically at local[2] and local[32] (tested).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import urls as U
+from ..operators import bloom as B
+from ..sources import synthetic_web as SW
+from .warehouse import SnapshotWarehouse
+
+FRONTIER_SCHEMA = (
+    "canonical_url string, url_fp string, url_hash long, host string, host_bucket int, "
+    "category string, category_priority int, depth int, discovered_epoch int"
+)
+CRAWL_LOG_SCHEMA = FRONTIER_SCHEMA + ", epoch int, rank int, fetch_slot double, status string, attempts int"
+SPAN_ROW_SCHEMA = "doc_id string, canonical_url string, kind string, text string, media_ref string, offset int"
+OUTLINK_SCHEMA = "out_url string, src_depth int"
+CHECKPOINT_SCHEMA = (
+    "partition_id int, epoch int, n_ranked long, n_fetched long, n_ok long, n_error long, "
+    "n_attempts long, n_candidates long, n_new long, max_fetch_slot double, lineage string"
+)
+
+
+def _doc_id_for(url: str) -> str:
+    """Filename-style doc id (reference sanitization: pipeline.py:426-428)."""
+    h, category, n = SW.parse_url_parts(url)
+    return f"{category}_doc-{n}_host{h:03d}".replace(" ", "_").replace("/", "-")
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        world: SW.World,
+        root: str,
+        n_buckets: int = 8,
+        seeds_per_host: int = 2,
+    ):
+        self.spark = spark
+        self.world = world
+        self.wh = SnapshotWarehouse(root)
+        self.n_buckets = n_buckets
+        self.seeds_per_host = seeds_per_host
+
+    # -- frontier-row construction (shared by seeds and discovered links) --
+
+    def _frontier_cols(self, df: DataFrame, depth_col: str, epoch: int) -> DataFrame:
+        url = F.col("canonical_url")
+        return df.select(
+            url,
+            F.md5(url).alias("url_fp"),
+            F.xxhash64(url).alias("url_hash"),
+            U.url_host(url).alias("host"),
+            U.host_bucket(U.url_host(url), self.n_buckets).alias("host_bucket"),
+            U.url_category(url).alias("category"),
+            U.category_priority(U.url_category(url)).alias("category_priority"),
+            F.col(depth_col).cast("int").alias("depth"),
+            F.lit(epoch).cast("int").alias("discovered_epoch"),
+        )
+
+    def bootstrap(self) -> None:
+        """Epoch 0: seeds → frontier + seen + bloom, one atomic commit."""
+        if self.wh.last_epoch() >= 0:
+            return
+        seeds = SW.seed_urls(self.world, self.seeds_per_host)
+        raw = self.spark.createDataFrame([(u,) for u in seeds], "canonical_url string")
+        fr = self._frontier_cols(raw.withColumn("depth", F.lit(0)), "depth", 0)
+        self.wh.stage("frontier", 0, fr.repartition(self.n_buckets, "host_bucket"))
+        self.wh.stage("seen", 0, fr.select("url_fp", "url_hash", "canonical_url", "host_bucket"))
+        self._bloom_update(fr, epoch=0)
+        self.wh.commit_epoch(0, ["frontier", "seen"], lineage={"seeds": len(seeds)})
+
+    # -- pandas-UDF stages ------------------------------------------------
+
+    def _fetch_group_fn(self, epoch: int):
+        world = self.world
+
+        def fetch(pdf: pd.DataFrame) -> pd.DataFrame:
+            # One host per group → politeness is structural. Virtual-clock
+            # slots replace sleep() (upload_documents.py:129) so the
+            # schedule is deterministic and benchable.
+            pdf = pdf.sort_values("rank").reset_index(drop=True)
+            h_idx, _, _ = SW.parse_url_parts(pdf["canonical_url"].iloc[0])
+            delay = SW.crawl_delay(h_idx)
+            pdf["fetch_slot"] = (pdf["rank"] - 1).astype("float64") * delay
+            outcomes = [SW.fetch_attempts(u) for u in pdf["canonical_url"]]
+            pdf["status"] = [o[0] for o in outcomes]
+            pdf["attempts"] = np.int32([o[1] for o in outcomes])
+            pdf["epoch"] = np.int32(epoch)
+            return pdf
+
+        return fetch
+
+    @staticmethod
+    def _parse_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Fetched page → interleaved span rows (the extract stage,
+        pipeline.py:216-322 re-expressed; content from the synthetic web)."""
+        for pdf in it:
+            rows = []
+            for url in pdf["canonical_url"]:
+                doc_id = _doc_id_for(url)
+                for kind, text, media_ref, offset in SW.page_spans(url):
+                    rows.append((doc_id, url, kind, text, media_ref, offset))
+            yield pd.DataFrame(rows, columns=["doc_id", "canonical_url", "kind", "text", "media_ref", "offset"])
+
+    def _outlinks_fn(self):
+        world = self.world
+
+        def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for url, depth in zip(pdf["canonical_url"], pdf["depth"]):
+                    for out in SW.page_outlinks(url, world):
+                        rows.append((out, int(depth)))
+                yield pd.DataFrame(rows, columns=["out_url", "src_depth"])
+
+        return gen
+
+    def _bloom_probe_fn(self, up_to_epoch: int):
+        root, n = self.wh.root, self.n_buckets
+
+        def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                flags = np.zeros(len(pdf), dtype=bool)
+                for b, idx in pdf.groupby("host_bucket").groups.items():
+                    keys = pdf.loc[idx, "url_hash"].to_numpy(dtype=np.int64)
+                    flags[pdf.index.get_indexer(idx)] = B.probe_bucket(root, int(b), up_to_epoch, keys)
+                yield pdf.assign(maybe_seen=flags)
+
+        return probe
+
+    def _bloom_update(self, new_rows: DataFrame, epoch: int) -> None:
+        """Distributed bloom update: one applyInPandas task per bucket
+        writes its own .npy (atomic rename); buckets with no new keys
+        keep their previous file (walk-back read)."""
+        root = self.wh.root
+
+        def upd(pdf: pd.DataFrame) -> pd.DataFrame:
+            b = int(pdf["host_bucket"].iloc[0])
+            B.update_bucket(root, b, epoch, pdf["url_hash"].to_numpy(dtype=np.int64))
+            return pd.DataFrame({"host_bucket": [b], "n": [len(pdf)]})
+
+        counts = (
+            new_rows.select("host_bucket", "url_hash")
+            .groupBy("host_bucket")
+            .applyInPandas(upd, "host_bucket int, n long")
+        )
+        counts.collect()  # action: materialize the writes
+
+    # -- one epoch ---------------------------------------------------------
+
+    def run_epoch(self, epoch: int) -> bool:
+        wh, world = self.wh, self.world
+        frontier = wh.read(self.spark, "frontier", FRONTIER_SCHEMA)
+        log = wh.read(self.spark, "crawl_log", CRAWL_LOG_SCHEMA)
+
+        pending = frontier.join(log.select("canonical_url"), "canonical_url", "left_anti")
+        eligible = pending.filter(F.col("discovered_epoch") <= epoch)
+        w = Window.partitionBy("host").orderBy("category_priority", "depth", "url_fp")
+        batch = (
+            eligible.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= world.budget_per_host)
+        )
+
+        fetched = batch.groupBy("host").applyInPandas(
+            self._fetch_group_fn(epoch), CRAWL_LOG_SCHEMA
+        )
+        fetched = fetched.localCheckpoint()  # cut lineage; epoch outputs reuse it
+        n_ranked = fetched.count()  # cheap: already materialized
+        if n_ranked == 0:
+            return False
+
+        ok = fetched.filter(F.col("status") == "ok")
+        span_rows = ok.select("canonical_url").mapInPandas(self._parse_fn, SPAN_ROW_SCHEMA)
+        docs = (
+            span_rows.groupBy("doc_id", "canonical_url")
+            .agg(F.collect_list(F.struct("kind", "text", "media_ref", "offset")).alias("_s"))
+            .select(
+                "doc_id",
+                "canonical_url",
+                F.expr("array_sort(_s, (a, b) -> a.offset - b.offset)").alias("spans"),
+                F.lit(epoch).cast("int").alias("epoch"),
+            )
+        )
+
+        links = ok.select("canonical_url", "depth").mapInPandas(self._outlinks_fn(), OUTLINK_SCHEMA)
+        cand_urls = links.groupBy("out_url").agg((F.min("src_depth") + 1).alias("depth"))
+        cands = self._frontier_cols(
+            cand_urls.withColumnRenamed("out_url", "canonical_url"), "depth", epoch + 1
+        ).repartition(self.n_buckets, "host_bucket")
+
+        probed = cands.mapInPandas(self._bloom_probe_fn(epoch - 1), FRONTIER_SCHEMA + ", maybe_seen boolean")
+        probed = probed.localCheckpoint()
+        fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        seen = wh.read(self.spark, "seen", "url_fp string, url_hash long, canonical_url string, host_bucket int")
+        confirmed = (
+            probed.filter(F.col("maybe_seen"))
+            .drop("maybe_seen")
+            .join(seen.select("url_fp"), "url_fp", "left_anti")
+        )
+        new_rows = fresh.unionByName(confirmed).localCheckpoint()
+
+        # per-bucket lineage + metrics (the distributed progress.json,
+        # ocr/ocr_pdf.py:77-88,179-195)
+        lineage = json.dumps(
+            {"epoch": epoch, "bloom_base": epoch - 1, "manifest_epochs": wh.read_manifest()["epochs"]}
+        )
+        fstats = fetched.groupBy("host_bucket").agg(
+            F.count("*").alias("n_fetched"),
+            F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+            F.sum((F.col("status") == "error").cast("long")).alias("n_error"),
+            F.sum("attempts").alias("n_attempts"),
+            F.max("fetch_slot").alias("max_fetch_slot"),
+            F.count("*").alias("n_ranked"),
+        )
+        cstats = probed.groupBy("host_bucket").agg(F.count("*").alias("n_candidates"))
+        nstats = new_rows.groupBy("host_bucket").agg(F.count("*").alias("n_new"))
+        checkpoints = (
+            fstats.join(cstats, "host_bucket", "full_outer")
+            .join(nstats, "host_bucket", "full_outer")
+            .select(
+                F.col("host_bucket").alias("partition_id"),
+                F.lit(epoch).cast("int").alias("epoch"),
+                F.coalesce("n_ranked", F.lit(0)).cast("long").alias("n_ranked"),
+                F.coalesce("n_fetched", F.lit(0)).cast("long").alias("n_fetched"),
+                F.coalesce("n_ok", F.lit(0)).cast("long").alias("n_ok"),
+                F.coalesce("n_error", F.lit(0)).cast("long").alias("n_error"),
+                F.coalesce("n_attempts", F.lit(0)).cast("long").alias("n_attempts"),
+                F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+                F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+                F.coalesce("max_fetch_slot", F.lit(0.0)).alias("max_fetch_slot"),
+                F.lit(lineage).alias("lineage"),
+            )
+        )
+
+        wh.stage("crawl_log", epoch, fetched)
+        wh.stage("docs", epoch, docs)
+        wh.stage("frontier", epoch, new_rows.repartition(self.n_buckets, "host_bucket"))
+        wh.stage("seen", epoch, new_rows.select("url_fp", "url_hash", "canonical_url", "host_bucket"))
+        wh.stage("checkpoints", epoch, checkpoints)
+        self._bloom_update(new_rows, epoch)
+        wh.commit_epoch(
+            epoch,
+            ["crawl_log", "docs", "frontier", "seen", "checkpoints"],
+            lineage={"n_ranked": n_ranked},
+        )
+        return True
+
+    def run(self, max_epochs: int | None = None) -> int:
+        """Bootstrap if needed, then run epochs until the frontier drains
+        or max_epochs; RESUMES from the last committed epoch (the
+        progress.json semantics: max(last+1, start), ocr_pdf.py:135)."""
+        self.bootstrap()
+        max_epochs = max_epochs or self.world.max_epochs
+        e = self.wh.last_epoch() + 1
+        while e <= max_epochs:
+            if not self.run_epoch(e):
+                break
+            e += 1
+        return e - 1
+
+    # -- results for assertions/bench --------------------------------------
+
+    def crawl_log(self) -> DataFrame:
+        return self.wh.read(self.spark, "crawl_log", CRAWL_LOG_SCHEMA)
+
+    def seen(self) -> DataFrame:
+        return self.wh.read(self.spark, "seen", "url_fp string, url_hash long, canonical_url string, host_bucket int")
+
+    def docs(self) -> DataFrame:
+        return self.wh.read(self.spark, "docs", "doc_id string, canonical_url string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, epoch int")
+
+    def checkpoints(self) -> DataFrame:
+        return self.wh.read(self.spark, "checkpoints", CHECKPOINT_SCHEMA)
+
+
+def frontier_scale_job(
+    spark: SparkSession,
+    n_urls: int,
+    n_hosts: int = 997,
+    budget_per_host: int = 1 << 30,
+    with_fetch: bool = True,
+) -> int:
+    """One full frontier generation over n_urls synthetic URLs — the
+    CPU-bound scaling workload for the N-vs-4N-parallelism evidence
+    (BASELINE.json north metric: URLs fetched+deduped/sec).
+
+    Pipeline (the engine's per-epoch dataflow, minus bookkeeping):
+      generate raw URLs (20% duplicated — dedup has real work)
+        → canonicalize (regex chain) → xxhash64
+        → exact dedup (groupBy url_hash)
+        → anti-join a 10%-of-space seen set
+        → per-host window rank (category_priority, depth, url_hash)
+        → politeness fetch slots
+        → fetch+parse (Arrow-batched pandas stage: retry simulation,
+          interleaved span extraction, content fingerprint)
+        → per-host aggregate
+
+    Shuffle hygiene: everything that crosses a shuffle is 4 narrow ints —
+    the URL string is re-derived inside the parse stage, never shuffled.
+
+    Returns the number of URLs fetched (actions the whole plan).
+    """
+    ids = spark.range(0, n_urls).select(
+        (F.col("id") % int(n_urls * 0.8)).alias("k")  # 20% dup rate
+    )
+    host_n = F.pmod(F.hash(F.col("k").cast("string")), F.lit(n_hosts))
+    doc_n = F.pmod(F.hash(F.concat(F.lit("d"), F.col("k").cast("string"))), F.lit(1_000_000))
+    cat = F.element_at(
+        F.array(*[F.lit(c) for c in SW.CATEGORIES]), (F.pmod(doc_n, F.lit(5)) + 1).cast("int")
+    )
+    raw = ids.select(
+        F.concat(
+            F.lit("HTTPS://Host"),
+            F.format_string("%03d", host_n),
+            F.lit(".Example.VN:443/van-ban/"),
+            cat,
+            F.lit("/doc-"),
+            doc_n.cast("string"),
+            F.lit(".aspx#section"),
+        ).alias("raw_url"),
+        F.pmod(F.col("k"), F.lit(6)).cast("int").alias("depth"),
+    )
+    url = U.canonicalize_url(F.col("raw_url"))
+    fr = raw.select(
+        F.xxhash64(url).alias("url_hash"),
+        F.regexp_extract(url, r"host(\d+)\.", 1).cast("int").alias("host_n"),
+        F.regexp_extract(url, r"doc-(\d+)\.aspx", 1).cast("int").alias("doc_n"),
+        U.category_priority(U.url_category(url)).alias("category_priority"),
+        F.col("depth"),
+    )
+    deduped = fr.groupBy("url_hash").agg(
+        F.first("host_n").alias("host_n"),
+        F.first("doc_n").alias("doc_n"),
+        F.first("category_priority").alias("category_priority"),
+        F.min("depth").alias("depth"),
+    )
+    seen = deduped.filter(F.pmod(F.col("url_hash"), F.lit(10)) == 0).select("url_hash")
+    pending = deduped.join(seen, "url_hash", "left_anti")
+    w = Window.partitionBy("host_n").orderBy("category_priority", "depth", "url_hash")
+    ranked = (
+        pending.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= budget_per_host)
+        .withColumn(
+            "fetch_slot",
+            (F.col("rank") - 1).cast("double") * (1.0 + F.pmod(F.col("host_n"), F.lit(3)).cast("double")),
+        )
+    )
+    if not with_fetch:
+        out = ranked.groupBy("host_n").agg(F.count("*").alias("n"), F.max("fetch_slot").alias("max_slot"))
+        return out.agg(F.sum("n")).collect()[0][0]
+
+    def fetch_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls = [SW.make_url(h, n) for h, n in zip(pdf["host_n"], pdf["doc_n"])]
+            n_spans = np.empty(len(urls), dtype=np.int64)
+            total_len = np.empty(len(urls), dtype=np.int64)
+            ok = np.empty(len(urls), dtype=bool)
+            for i, u in enumerate(urls):
+                status, _ = SW.fetch_attempts(u)
+                ok[i] = status == "ok"
+                if ok[i]:
+                    spans = SW.page_spans(u)
+                    n_spans[i] = len(spans)
+                    total_len[i] = sum(len(s[1]) for s in spans)
+                else:
+                    n_spans[i] = 0
+                    total_len[i] = 0
+            yield pd.DataFrame(
+                {"host_n": pdf["host_n"], "ok": ok, "n_spans": n_spans, "total_len": total_len}
+            )
+
+    parsed = ranked.select("host_n", "doc_n").mapInPandas(
+        fetch_parse, "host_n int, ok boolean, n_spans long, total_len long"
+    )
+    out = parsed.groupBy("host_n").agg(
+        F.count("*").alias("n"), F.sum("n_spans").alias("spans"), F.sum("total_len").alias("chars")
+    )
+    return out.agg(F.sum("n")).collect()[0][0]
