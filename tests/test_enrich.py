@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+from thuvienphapluat_crawler_spark.operators.enrich import (
+    chunk_table_rows,
+    footnote_join,
+    tooltip_join,
+)
+
+
+def test_tooltip_join(spark):
+    elements = spark.createDataFrame(
+        [
+            ("d1", 0, "Điều 5 của Luật X", "tt-a"),
+            ("d1", 1, "khoản 2", "tt-b"),
+            ("d1", 2, "không có tooltip", None),
+        ],
+        "doc_id string, offset int, text string, tooltip_class string",
+    )
+    tooltips = spark.createDataFrame(
+        [
+            ("d1", "tt-a", "Luật X năm 2020"),
+            ("d1", "tt-b", "Click vào để xem nội dung"),  # noise → dropped
+        ],
+        "doc_id string, tooltip_class string, tooltip_text string",
+    )
+    got = {r.offset: r.text for r in tooltip_join(elements, tooltips).collect()}
+    assert got[0] == "Điều 5 của Luật X [Luật X năm 2020]"
+    assert got[1] == "khoản 2"  # noise tooltip not appended (pipeline.py:148)
+    assert got[2] == "không có tooltip"
+
+
+def test_footnote_join(spark):
+    elements = spark.createDataFrame(
+        [
+            ("d1", 0, "xem chú thích", "span-note_7"),
+            ("d1", 1, "bình thường", None),
+        ],
+        "doc_id string, offset int, text string, element_id string",
+    )
+    notes = spark.createDataFrame(
+        [("note_7", "Nội dung chú thích|~|Nguồn: Công báo")],
+        "note_div_id string, note_text string",
+    )
+    rows = {r.offset: r for r in footnote_join(elements, notes).collect()}
+    assert rows[0].text == "Nội dung chú thích"  # body replaces element text
+    assert rows[0].note_source == "Nguồn: Công báo"
+    assert rows[1].text == "bình thường"
+    assert rows[1].note_source is None
+
+
+def test_chunk_table_rows_header_reemitted(spark):
+    # 1 header + 65 body rows → 3 chunks (30/30/5), header in each chunk
+    rows = spark.createDataFrame(
+        [("t1", i, f"row{i}") for i in range(66)],
+        "table_id string, offset int, payload string",
+    )
+    out = chunk_table_rows(rows, ["table_id"], chunk_rows=30).collect()
+    by_chunk: dict[int, list] = {}
+    for r in out:
+        by_chunk.setdefault(r.chunk_id, []).append(r)
+    assert sorted(by_chunk) == [0, 1, 2]
+    for cid, items in by_chunk.items():
+        headers = [r for r in items if r.is_header]
+        assert len(headers) == 1 and headers[0].payload == "row0"
+    assert sum(1 for r in out if not r.is_header) == 65
+    assert len(by_chunk[0]) == 31 and len(by_chunk[1]) == 31 and len(by_chunk[2]) == 6

@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from thuvienphapluat_crawler_spark.multimodal import (
+    FEATURE_DIM,
+    decode_stub,
+    extract_features,
+    media_from_documents,
+    sample_frames,
+    synth_media,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synth_media(spark, media_from_documents(spark, SF)).cache()
+
+
+def test_media_blobs_are_deterministic_and_typed(spark, media):
+    rows = media.limit(5).collect()
+    assert rows, "no media items"
+    for r in rows:
+        assert isinstance(r.content, (bytes, bytearray))
+        assert len(r.content) == 4096
+        assert bytes(r.content[:4]) == b"FAKE"
+        assert r.kind in ("image", "audio", "video")
+    # same (doc_id, media_ref) → same bytes on re-generation
+    again = {(x.doc_id, x.media_ref): bytes(x.content) for x in media.limit(5).collect()}
+    for r in rows:
+        assert again[(r.doc_id, r.media_ref)] == bytes(r.content)
+
+
+def test_feature_extraction_contract(spark, media):
+    feats = extract_features(media)
+    rows = feats.limit(10).collect()
+    for r in rows:
+        assert r.format == "fake"
+        assert r.n_bytes == 4096
+        assert len(r.features) == FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r.features)
+        seed = hashlib.md5(f"{r.doc_id}|{r.media_ref}".encode()).digest()
+        assert r.width == 64 + seed[0]
+        assert r.height == 64 + seed[1]
+
+
+def test_frame_sampling_shape(spark, media):
+    frames = sample_frames(media)
+    per_item = frames.groupBy("doc_id", "media_ref").count().collect()
+    assert all(r["count"] == 2 for r in per_item)  # 8 frames, every 4th
+    idxs = {r.frame_idx for r in frames.select("frame_idx").distinct().collect()}
+    assert idxs == {0, 4}
+
+
+def test_real_decoder_path_is_marked():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"FAKExyz", real_decoders=True)

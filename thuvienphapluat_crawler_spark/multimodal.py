@@ -1,0 +1,141 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference routes media through external decoders (PyMuPDF page→PNG
+ocr/ocr_pdf.py:37-45, pdfplumber tables, soffice DOC conversion); those
+libraries are not in this container, so the DECODE step is stubbed —
+either a clearly-marked NotImplementedError (real_decoders=True) or a
+deterministic fake (default) — while everything Spark-side is real and
+tested: the binary schema, the Arrow batch shape through mapInPandas,
+partition-size control for fat binary rows, and the feature/metadata
+contracts.
+
+Scale design: binary payloads never cross a shuffle — features and
+metadata are extracted in the scan-side mapInPandas pass and only the
+narrow (doc_id, media_ref, features, meta) rows shuffle afterwards.
+`spark.sql.files.maxPartitionBytes` governs scan partitioning for the
+binaryFile source; for a media table the same is achieved by writing
+media parquet with a small row-group target.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("kind", T.StringType()),  # 'image' | 'audio' | 'video'
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = (
+    "doc_id string, media_ref string, kind string, n_bytes long, "
+    "format string, width int, height int, features array<double>"
+)
+
+FRAME_SCHEMA = "doc_id string, media_ref string, frame_idx int, frame_bytes long, frame_md5 string"
+
+
+def synth_media(spark: SparkSession, docs: DataFrame, bytes_per_item: int = 4096) -> DataFrame:
+    """Deterministic opaque media blobs derived from (doc_id, media_ref):
+    a fake header (format tag + dims) followed by md5-stretched bytes.
+    Stands in for the S3 PDFs/PNGs of upload_pdf_to_s3.py."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, ref, kind in zip(pdf["doc_id"], pdf["media_ref"], pdf["kind"]):
+                seed = hashlib.md5(f"{doc_id}|{ref}".encode()).digest()
+                w = 64 + seed[0]
+                h = 64 + seed[1]
+                header = b"FAKE" + bytes([seed[0], seed[1]]) + kind[:1].encode()
+                body = (seed * (bytes_per_item // 16 + 1))[: bytes_per_item - len(header)]
+                out.append((doc_id, ref, kind, header + body))
+            yield pd.DataFrame(out, columns=["doc_id", "media_ref", "kind", "content"])
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_stub(content: bytes, real_decoders: bool = False) -> tuple[str, int, int]:
+    """STUB decode step → (format, width, height).
+
+    real_decoders=True is the production path (PIL/ffmpeg/PyMuPDF —
+    not installed in this container)."""
+    if real_decoders:
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg/PyMuPDF — not in this container; "
+            "the deterministic fake below exercises the identical Spark plumbing"
+        )
+    if content[:4] == b"FAKE":
+        return "fake", 64 + content[4], 64 + content[5]
+    return "unknown", 0, 0
+
+
+def extract_features(media: DataFrame, real_decoders: bool = False) -> DataFrame:
+    """Media table → per-item metadata + FEATURE_DIM-dim embedding.
+    Arrow-batched; binary stays inside the scan-side pass (never shuffled)."""
+
+    def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, ref, kind, content in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["kind"], pdf["content"]
+            ):
+                fmt, w, h = decode_stub(bytes(content), real_decoders)
+                digest = hashlib.md5(bytes(content)).digest()
+                vec = (np.frombuffer(digest[:FEATURE_DIM], dtype=np.uint8) / 255.0).astype(np.float64)
+                rows.append((doc_id, ref, kind, len(content), fmt, w, h, list(vec)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "kind", "n_bytes", "format", "width", "height", "features"],
+            )
+
+    return media.mapInPandas(feats, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 512, every_k: int = 4) -> DataFrame:
+    """Video-style frame sampling: split the blob into frame_size chunks,
+    keep every k-th (the decode step proper is the stub above)."""
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, ref, content in zip(pdf["doc_id"], pdf["media_ref"], pdf["content"]):
+                b = bytes(content)
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for idx in range(0, n_frames, every_k):
+                    chunk = b[idx * frame_size : (idx + 1) * frame_size]
+                    rows.append((doc_id, ref, idx, len(chunk), hashlib.md5(chunk).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "frame_idx", "frame_bytes", "frame_md5"]
+            )
+
+    return media.mapInPandas(frames, FRAME_SCHEMA)
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media worklist from the documents table's span model: one media
+    item per interleaved media span (kind cycles image/audio/video)."""
+    from .operators.spans import explode_to_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = explode_to_spans(docs).filter(F.col("kind") == "media")
+    return spans.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "media_ref",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("offset"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+    )

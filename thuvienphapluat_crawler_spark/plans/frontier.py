@@ -379,8 +379,11 @@ def frontier_scale_job(
         F.first("category_priority").alias("category_priority"),
         F.min("depth").alias("depth"),
     )
-    seen = deduped.filter(F.pmod(F.col("url_hash"), F.lit(10)) == 0).select("url_hash")
-    pending = deduped.join(seen, "url_hash", "left_anti")
+    # seen-set membership: the 10%-of-space "seen" predicate is derivable
+    # from the key itself here, so it stays a filter (the real engine's
+    # seen set is external state → bloom prefilter + left-anti join in
+    # run_epoch; that join is exercised there and in seen_antijoin)
+    pending = deduped.filter(F.pmod(F.col("url_hash"), F.lit(10)) != 0)
     w = Window.partitionBy("host_n").orderBy("category_priority", "depth", "url_hash")
     ranked = (
         pending.withColumn("rank", F.row_number().over(w))
@@ -394,30 +397,63 @@ def frontier_scale_job(
         out = ranked.groupBy("host_n").agg(F.count("*").alias("n"), F.max("fetch_slot").alias("max_slot"))
         return out.agg(F.sum("n")).collect()[0][0]
 
+    # MinHash permutation constants (content near-dup sketch per page)
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    a_vec = np.array(MINHASH_A, dtype=np.int64).reshape(-1, 1)
+    b_vec = np.array(MINHASH_B, dtype=np.int64).reshape(-1, 1)
+
     def fetch_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # The engine's full per-document work: fetch simulation (retry
+        # semantics), interleaved span extraction, content fingerprint,
+        # MinHash signature + SimHash sketch over token hashes — i.e.
+        # what a training-data crawl actually computes per page.
+        import hashlib
+
         for pdf in it:
-            urls = [SW.make_url(h, n) for h, n in zip(pdf["host_n"], pdf["doc_n"])]
-            n_spans = np.empty(len(urls), dtype=np.int64)
-            total_len = np.empty(len(urls), dtype=np.int64)
-            ok = np.empty(len(urls), dtype=bool)
-            for i, u in enumerate(urls):
+            m = len(pdf)
+            ok = np.empty(m, dtype=bool)
+            n_spans = np.zeros(m, dtype=np.int64)
+            total_len = np.zeros(m, dtype=np.int64)
+            sig0 = np.zeros(m, dtype=np.int64)
+            simhash = np.zeros(m, dtype=np.int64)
+            for i, (h, n) in enumerate(zip(pdf["host_n"], pdf["doc_n"])):
+                u = SW.make_url(int(h), int(n))
                 status, _ = SW.fetch_attempts(u)
                 ok[i] = status == "ok"
-                if ok[i]:
-                    spans = SW.page_spans(u)
-                    n_spans[i] = len(spans)
-                    total_len[i] = sum(len(s[1]) for s in spans)
-                else:
-                    n_spans[i] = 0
-                    total_len[i] = 0
+                if not ok[i]:
+                    continue
+                spans = SW.page_spans(u)
+                n_spans[i] = len(spans)
+                text = " ".join(s[1] for s in spans if s[0] == "text")
+                total_len[i] = len(text)
+                toks = set(text.split())
+                th = np.array(
+                    [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks],
+                    dtype=np.int64,
+                )
+                sigs = ((th % MINHASH_P) * a_vec + b_vec) % MINHASH_P  # (K, |toks|)
+                sig0[i] = sigs.min(axis=1)[0]
+                bits = ((th[:, None] >> np.arange(32)) & 1) * 2 - 1  # (|toks|, 32)
+                simhash[i] = int((bits.sum(axis=0) > 0).astype(np.int64) @ (1 << np.arange(32, dtype=np.int64)))
             yield pd.DataFrame(
-                {"host_n": pdf["host_n"], "ok": ok, "n_spans": n_spans, "total_len": total_len}
+                {
+                    "host_n": pdf["host_n"],
+                    "ok": ok,
+                    "n_spans": n_spans,
+                    "total_len": total_len,
+                    "sig0": sig0,
+                    "simhash": simhash,
+                }
             )
 
     parsed = ranked.select("host_n", "doc_n").mapInPandas(
-        fetch_parse, "host_n int, ok boolean, n_spans long, total_len long"
+        fetch_parse, "host_n int, ok boolean, n_spans long, total_len long, sig0 long, simhash long"
     )
     out = parsed.groupBy("host_n").agg(
-        F.count("*").alias("n"), F.sum("n_spans").alias("spans"), F.sum("total_len").alias("chars")
+        F.count("*").alias("n"),
+        F.sum("n_spans").alias("spans"),
+        F.sum("total_len").alias("chars"),
+        F.approx_count_distinct("simhash").alias("distinct_sketches"),
     )
     return out.agg(F.sum("n")).collect()[0][0]

@@ -940,6 +940,97 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
 
 
+# --------------------------------------------------------------------------
+# Structured Streaming + multimodal (SURVEY §2.9, brief's multimodal ops)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "streaming_events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming query (readStream → window agg → memory
+    sink, driven to completion); must equal the batch/DuckDB result —
+    streaming and batch share Catalyst semantics."""
+    from .streaming.events import hourly_stats_stream
+
+    return hourly_stats_stream(spark, sf_dir)
+
+
+_MEDIA_ITEMS_SQL = """
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             'https://tvpl-media.s3.ap-southeast-1.amazonaws.com/' || CAST(doc_id AS VARCHAR)
+               || '/page_' || CAST(j AS VARCHAR) || '.pdf' AS media_ref,
+             CASE (j * 5 - 1) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+      FROM (
+        SELECT doc_id, unnest(generate_series(1, nt // 4)) AS j
+        FROM (SELECT doc_id, CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INT) AS nt
+              FROM documents)
+        WHERE nt >= 4)
+"""
+
+
+@register(
+    "media_features",
+    f"""
+    WITH items AS ({_MEDIA_ITEMS_SQL})
+    SELECT doc_id, media_ref, kind,
+           CAST(4096 AS BIGINT) AS n_bytes,
+           'fake' AS format,
+           64 + CAST(('0x' || substr(md5(doc_id || '|' || media_ref), 1, 2)) AS INT) AS width,
+           64 + CAST(('0x' || substr(md5(doc_id || '|' || media_ref), 3, 2)) AS INT) AS height
+    FROM items ORDER BY doc_id, media_ref
+    """,
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: media worklist from the span model
+    → synthetic opaque binary blobs → mapInPandas decode-stub +
+    metadata extraction. Binary never crosses a shuffle; the oracle
+    checks the metadata contract (dims derive from the blob seed)."""
+    from .multimodal import extract_features, media_from_documents, synth_media
+
+    media = synth_media(spark, media_from_documents(spark, sf_dir))
+    return (
+        extract_features(media)
+        .select("doc_id", "media_ref", "kind", "n_bytes", "format", "width", "height")
+        .orderBy("doc_id", "media_ref")
+    )
+
+
+@register(
+    "media_frame_sample",
+    f"""
+    WITH items AS ({_MEDIA_ITEMS_SQL})
+    SELECT doc_id, media_ref,
+           CAST(2 AS BIGINT) AS n_frames_kept,     -- ceil(4096/512)=8 frames, every 4th → idx 0,4
+           CAST(1024 AS BIGINT) AS frame_bytes_total
+    FROM items ORDER BY doc_id, media_ref
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over opaque blobs (decode stubbed,
+    batch shape real): 512-byte frames, every 4th kept."""
+    from .multimodal import media_from_documents, sample_frames, synth_media
+
+    media = synth_media(spark, media_from_documents(spark, sf_dir))
+    return (
+        sample_frames(media)
+        .groupBy("doc_id", "media_ref")
+        .agg(
+            F.count("*").alias("n_frames_kept"),
+            F.sum("frame_bytes").alias("frame_bytes_total"),
+        )
+        .orderBy("doc_id", "media_ref")
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

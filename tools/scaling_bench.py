@@ -23,7 +23,7 @@ import subprocess
 import sys
 import time
 
-REPS = 2
+REPS = 1
 
 
 def run_one(cpus: int, n_urls: int) -> None:
@@ -47,25 +47,34 @@ def run_one(cpus: int, n_urls: int) -> None:
 
 
 def main() -> None:
+    """Interleave the two levels over ROUNDS rounds (fresh subprocess per
+    measurement) and take best-of per level: the sandbox VM's host is
+    oversubscribed and identical runs vary several-fold, so adjacent
+    interleaved rounds + best-of is the least-biased estimator here."""
     if len(sys.argv) > 1 and sys.argv[1] == "--one":
         run_one(int(sys.argv[2]), int(sys.argv[3]))
         return
     n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
-    results = {}
-    for cpus in (8, 32):
-        out = subprocess.run(
-            [sys.executable, __file__, "--one", str(cpus), str(n_urls)],
-            capture_output=True, text=True, check=True,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(line)
-    tp8 = results[8]["urls_per_sec"]
-    tp32 = results[32]["urls_per_sec"]
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    best: dict[int, dict] = {}
+    for rnd in range(rounds):
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--one", str(cpus), str(n_urls)],
+                capture_output=True, text=True, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            res = json.loads(line)
+            print(json.dumps({"round": rnd, **res}))
+            if cpus not in best or res["sec"] < best[cpus]["sec"]:
+                best[cpus] = res
+    tp8 = best[8]["urls_per_sec"]
+    tp32 = best[32]["urls_per_sec"]
     eff = (tp32 / tp8) / 4
     print(json.dumps({
         "metric": "throughput scaling efficiency N→4N (local[8]→local[32])",
         "n_urls": n_urls,
+        "rounds": rounds,
         "throughput_local8_urls_per_sec": tp8,
         "throughput_local32_urls_per_sec": tp32,
         "speedup": round(tp32 / tp8, 3),
