@@ -940,6 +940,139 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
 
 
+@register(
+    "cube_order_stats",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (SURVEY §2.4 note: free from Spark)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "distinct_parts_per_brand",
+    """
+    SELECT p_brand AS brand,
+           count(DISTINCT p_type) AS n_types,
+           count(DISTINCT p_size) AS n_sizes,
+           count(*) AS n_parts
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def distinct_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregations (expand-based plan in Spark)."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.countDistinct("p_type").alias("n_types"),
+            F.countDistinct("p_size").alias("n_sizes"),
+            F.count("*").alias("n_parts"),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "spans_lookahead_media",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INT) AS nt
+      FROM documents),
+    t AS (SELECT doc_id, unnest(generate_series(0, nt - 1)) AS i, nt FROM base),
+    text_spans AS (
+      SELECT doc_id, CAST(i + (i // 4) AS INT) AS "offset", 'text' AS kind FROM t),
+    m AS (SELECT doc_id, unnest(generate_series(1, nt // 4)) AS j FROM base WHERE nt >= 4),
+    media_spans AS (SELECT doc_id, CAST(j * 5 - 1 AS INT) AS "offset", 'media' AS kind FROM m),
+    allspans AS (SELECT * FROM text_spans UNION ALL SELECT * FROM media_spans),
+    flagged AS (
+      SELECT doc_id, kind,
+             lead(kind) OVER (PARTITION BY doc_id ORDER BY "offset") AS next_kind
+      FROM allspans)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN kind = 'text' AND next_kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_text_before_media
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def spans_lookahead_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Look-ahead window over span order (SURVEY §2.5 W2: `lead` header
+    detection analogue): count text spans immediately preceding media."""
+    from .operators.spans import explode_to_spans
+
+    docs = load(spark, sf_dir, "documents")
+    spans = explode_to_spans(docs)
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return (
+        spans.withColumn("next_kind", F.lead("kind").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.sum(((F.col("kind") == "text") & (F.col("next_kind") == "media")).cast("bigint")),
+                F.lit(0),
+            ).alias("n_text_before_media")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "spans_lookback_title",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INT) AS nt
+      FROM documents),
+    t AS (SELECT doc_id, unnest(generate_series(0, nt - 1)) AS i, ws, nt FROM base),
+    text_spans AS (
+      SELECT doc_id, CAST(i + (i // 4) AS INT) AS "offset",
+             array_to_string(ws[(i*12)+1 : least((i+1)*12, len(ws))], ' ') AS text
+      FROM t),
+    looked AS (
+      SELECT doc_id, "offset", text,
+             array_to_string(array_agg(text) OVER (PARTITION BY doc_id ORDER BY "offset"
+                 ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), ' / ') AS title_ctx
+      FROM text_spans)
+    SELECT doc_id, "offset", title_ctx FROM looked
+    WHERE "offset" % 5 = 3 AND "offset" >= 3
+    ORDER BY doc_id, "offset"
+    """,
+)
+def spans_lookback_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Look-back title capture (SURVEY §2.5 W1: collect the preceding
+    lines before a table/media anchor): rows-preceding collect_list over
+    span order at each media-adjacent offset."""
+    from .operators.spans import explode_to_spans
+
+    docs = load(spark, sf_dir, "documents")
+    spans = explode_to_spans(docs).filter(F.col("kind") == "text")
+    w = Window.partitionBy("doc_id").orderBy("offset").rowsBetween(-2, -1)
+    return (
+        spans.withColumn("title_ctx", F.array_join(F.collect_list("text").over(w), " / "))
+        .filter((F.col("offset") % 5 == 3) & (F.col("offset") >= 3))
+        .select("doc_id", "offset", "title_ctx")
+        .orderBy("doc_id", "offset")
+    )
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming + multimodal (SURVEY §2.9, brief's multimodal ops)
 # --------------------------------------------------------------------------
