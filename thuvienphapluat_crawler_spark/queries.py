@@ -1073,6 +1073,137 @@ def spans_lookback_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .functions.text import (  # noqa: E402
+    DIEU_TITLE_PATTERN,
+    NEW_PARAGRAPH_PATTERN,
+    SENTENCE_END_PATTERN,
+    merge_lines_to_paragraphs,
+)
+
+
+@register(
+    "docs_paragraph_merge",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INT) AS nt
+      FROM documents),
+    rawlines AS (
+      SELECT doc_id, i AS "offset",
+             array_to_string(ws[(i*12)+1 : least((i+1)*12, len(ws))], ' ') AS rawline
+      FROM (SELECT doc_id, unnest(generate_series(0, nt - 1)) AS i, ws FROM base)),
+    lines AS (
+      SELECT doc_id, "offset",
+             CASE WHEN "offset" % 3 = 0
+                    THEN 'Điều ' || CAST("offset" + 1 AS VARCHAR) || '. ' || rawline
+                  WHEN "offset" % 4 = 1 THEN rawline || '.'
+                  ELSE rawline END AS line
+      FROM rawlines),
+    flagged AS (
+      SELECT doc_id, "offset", line,
+             CASE WHEN lag(line) OVER w IS NULL
+                   OR regexp_matches(lag(line) OVER w, '{SENTENCE_END_PATTERN}')
+                   OR regexp_matches(lag(line) OVER w, '{DIEU_TITLE_PATTERN}')
+                   OR regexp_matches(line, $${NEW_PARAGRAPH_PATTERN}$$)
+                  THEN 1 ELSE 0 END AS new_para
+      FROM lines WHERE trim(line) != ''
+      WINDOW w AS (PARTITION BY doc_id ORDER BY "offset")
+    ),
+    paras AS (
+      SELECT doc_id, "offset", line,
+             sum(new_para) OVER (PARTITION BY doc_id ORDER BY "offset"
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+      FROM flagged)
+    SELECT doc_id, min("offset") AS para_offset,
+           md5(string_agg(line, ' ' ORDER BY "offset")) AS para_fp
+    FROM paras GROUP BY doc_id, pid ORDER BY doc_id, para_offset
+    """,
+)
+def docs_paragraph_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1 core operator (reference's line→paragraph buffer machine,
+    pipeline.py:256-322) as window sessionization, on lines synthesized
+    from the documents table with injected structural markers (Điều
+    headings, sentence ends) so the state machine has real work. The
+    DuckDB oracle replays the same lag/cumsum semantics."""
+    from .operators.spans import explode_to_spans
+
+    docs = load(spark, sf_dir, "documents")
+    raw = explode_to_spans(docs).filter(F.col("kind") == "text")
+    # same offsets as the SQL: the i-th text line (not the interleaved offset)
+    lines = raw.select(
+        "doc_id",
+        (F.col("offset") - F.floor(F.col("offset") / 5)).cast("int").alias("offset"),
+        F.col("text").alias("rawline"),
+    ).select(
+        "doc_id",
+        "offset",
+        F.when(
+            F.col("offset") % 3 == 0,
+            F.concat(F.lit("Điều "), (F.col("offset") + 1).cast("string"), F.lit(". "), F.col("rawline")),
+        )
+        .when(F.col("offset") % 4 == 1, F.concat("rawline", F.lit(".")))
+        .otherwise(F.col("rawline"))
+        .alias("line"),
+    )
+    merged = merge_lines_to_paragraphs(lines, doc_col="doc_id", offset_col="offset", line_col="line")
+    return merged.select(
+        "doc_id", "para_offset", F.md5("paragraph").alias("para_fp")
+    ).orderBy("doc_id", "para_offset")
+
+
+@register(
+    "order_value_quantiles",
+    """
+    SELECT o_orderpriority AS priority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles (Spark `percentile` == DuckDB
+    quantile_cont interpolation)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register("crawl_engine_demo")  # no oracle: multi-epoch stateful engine → rows-only check
+def crawl_engine_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl engine end-to-end on a small deterministic world
+    (frontier generations, bloom+anti-join dedup, politeness, atomic
+    epoch commits). Exact-equality gates live in pytest
+    (tests/test_crawl_engine.py vs the single-threaded oracle); here the
+    driver sees the crawl log as a rows-only check."""
+    import shutil
+    import tempfile
+
+    from .plans.frontier import CrawlEngine
+    from .sources.synthetic_web import World
+
+    root = tempfile.mkdtemp(prefix="tvpl_demo_wh_")
+    try:
+        world = World(n_hosts=4, base_size=60, links_per_page=3, budget_per_host=6, max_epochs=2)
+        engine = CrawlEngine(spark, world, root, n_buckets=4)
+        engine.run()
+        log = engine.crawl_log()
+        out = log.select(
+            "epoch", "host", "rank", "canonical_url", "fetch_slot", "status", "attempts"
+        ).orderBy("epoch", "host", "rank")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from temp dir
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming + multimodal (SURVEY §2.9, brief's multimodal ops)
 # --------------------------------------------------------------------------
