@@ -1176,6 +1176,52 @@ def order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_host_agg",
+    """
+    SELECT CASE WHEN doc_id % 10 < 8 THEN 'hot-host' ELSE 'host' || CAST(doc_id % 5 AS VARCHAR) END AS host,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY host ORDER BY host
+    """,
+)
+def salted_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a Zipf-hot key (north_rule
+    'salted repartitioning'): 80% of rows share one host; the partial agg
+    on (host, salt) spreads it over 16 reducers, the final merge is
+    exact — oracle is the plain GROUP BY."""
+    from .operators.skew import salted_agg
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 10 < 8, "hot-host")
+        .otherwise(F.concat(F.lit("host"), (F.col("doc_id") % 5).cast("string")))
+        .alias("host"),
+        "n_chars",
+        "doc_id",
+    )
+    out = salted_agg(
+        docs,
+        ["host"],
+        {
+            "total_chars": ("sum", "n_chars"),
+            "n_docs": ("count", "n_chars"),
+            "min_chars": ("min", "n_chars"),
+            "max_chars": ("max", "n_chars"),
+        },
+        salt_col="doc_id",
+        buckets=16,
+    )
+    return out.select(
+        "host",
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        "n_docs",
+        F.col("min_chars").cast("bigint").alias("min_chars"),
+        F.col("max_chars").cast("bigint").alias("max_chars"),
+    ).orderBy("host")
+
+
 @register("crawl_engine_demo")  # no oracle: multi-epoch stateful engine → rows-only check
 def crawl_engine_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full crawl engine end-to-end on a small deterministic world
