@@ -57,3 +57,19 @@ def test_crashed_epoch_not_compounded(tmp_path):
     update_bucket(root, 0, epoch=1, keys=np.array([2], dtype=np.int64))
     f = load_bucket(root, 0, 1)
     assert f.contains(np.array([1, 2], dtype=np.int64)).all()
+
+
+def test_non_byte_aligned_capacity_roundtrip(tmp_path):
+    # capacity*bits_per_key not divisible by 8 → n_bits must round up so
+    # the persisted bitmap reconstructs the SAME modulus (false negatives
+    # after reload would silently break the exact-dedup invariant)
+    root = str(tmp_path)
+    keys = (np.arange(500, dtype=np.int64) * 2_654_435_761) ^ 0x5DEECE66D
+    update_bucket(root, bucket=0, epoch=0, keys=keys, capacity=1001)  # 10010 bits → not byte-aligned
+    f = load_bucket(root, 0, 0)
+    assert f.n_bits % 8 == 0
+    assert f.contains(keys).all(), "reload must preserve membership (no false negatives)"
+    # and in-memory filter already uses the rounded modulus
+    g = BloomFilter(n_bits=10010)
+    g.add(keys)
+    assert g.n_bits == f.n_bits and g.contains(keys).all()

@@ -85,3 +85,30 @@ def test_stateful_sessionize_matches_batch(spark):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_salted_agg_count_and_avg_with_nulls(spark):
+    # 'count' must mean count(*) and 'avg' must skip NULLs — exactly like
+    # the unsalted SQL aggregates (ADVICE r01: count(col) diverged on NULLs)
+    df = spark.range(0, 5_000).select(
+        F.when(F.col("id") % 3 == 0, "hot").otherwise("cold").alias("host"),
+        F.when(F.col("id") % 5 == 0, None).otherwise((F.col("id") % 100).cast("double")).alias("v"),
+        F.col("id"),
+    )
+    plain = {
+        r.host: (r.c, round(r.a, 6), r.s)
+        for r in df.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("c"), F.avg("v").alias("a"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = {
+        r.host: (r.c, round(r.a, 6), r.s)
+        for r in salted_agg(
+            df,
+            ["host"],
+            {"c": ("count", "v"), "a": ("avg", "v"), "s": ("sum", "v")},
+            salt_col="id",
+            buckets=8,
+        ).collect()
+    }
+    assert salted == plain

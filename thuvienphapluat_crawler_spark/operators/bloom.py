@@ -45,9 +45,13 @@ class BloomFilter:
     """Vectorized bloom over int64/uint64 keys (xxhash64 of canonical URL)."""
 
     def __init__(self, n_bits: int, n_hashes: int = 4, bits: np.ndarray | None = None):
-        self.n_bits = int(n_bits)
+        # Round n_bits up to a byte multiple: load_bucket reconstructs
+        # n_bits as len(bits)*8, so a non-aligned modulus would change
+        # after persist+reload and reintroduce false NEGATIVES (breaking
+        # the no-false-negative invariant the anti-join relies on).
+        self.n_bits = (int(n_bits) + 7) // 8 * 8
         self.n_hashes = int(n_hashes)
-        self.bits = bits if bits is not None else np.zeros((self.n_bits + 7) // 8, dtype=np.uint8)
+        self.bits = bits if bits is not None else np.zeros(self.n_bits // 8, dtype=np.uint8)
 
     @classmethod
     def for_capacity(cls, capacity: int, bits_per_key: int = 10) -> "BloomFilter":

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 MERGEABLE = {
     "sum": F.sum,
     "count": F.sum,  # partial counts merge by summing
+    "avg": None,  # decomposed into sum+count partials, merged as sum/sum
     "min": F.min,
     "max": F.max,
 }
@@ -35,17 +36,28 @@ def salted_agg(
     """Two-phase aggregation over a skewed key: partial agg on
     (keys, salt) spreads the hot key over `buckets` reducers, final agg
     merges partials. aggs: out_name -> (fn, in_col) with fn in
-    sum|count|min|max (algebraic → partials merge exactly).
+    sum|count|avg|min|max (algebraic → partials merge exactly).
+    'count' means count(*) (rows, NULLs included — matching SQL
+    count(*)); 'avg' is decomposed into sum+count(col) partials so the
+    merged mean is exact (and NULL-skipping, matching SQL avg).
     """
     salt = F.pmod(F.hash(salt_col if isinstance(salt_col, Column) else F.col(salt_col)), F.lit(buckets))
     partial_exprs = []
     for out, (fn, col) in aggs.items():
-        e = F.count(col) if fn == "count" else MERGEABLE[fn](col)
-        partial_exprs.append(e.alias(f"_p_{out}"))
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(f"_p_{out}"))
+        elif fn == "avg":
+            partial_exprs.append(F.sum(col).alias(f"_p_{out}_s"))
+            partial_exprs.append(F.count(col).alias(f"_p_{out}_n"))
+        else:
+            partial_exprs.append(MERGEABLE[fn](col).alias(f"_p_{out}"))
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_exprs)
-    final_exprs = [
-        MERGEABLE[fn](f"_p_{out}").alias(out) for out, (fn, _col) in aggs.items()
-    ]
+    final_exprs = []
+    for out, (fn, _col) in aggs.items():
+        if fn == "avg":
+            final_exprs.append((F.sum(f"_p_{out}_s") / F.sum(f"_p_{out}_n")).alias(out))
+        else:
+            final_exprs.append(MERGEABLE[fn](f"_p_{out}").alias(out))
     return partial.groupBy(*keys).agg(*final_exprs)
 
 

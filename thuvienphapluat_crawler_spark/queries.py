@@ -618,19 +618,22 @@ _WS_SQL = "string_split_regex(trim(text), '\\s+')"
 _TOKHASH_SQL = "CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT)"
 
 # Corpus with deterministic near/exact duplicates injected so dedup output
-# is non-trivial: +1M ids = near-dup (one appended token), +2M ids = exact.
+# is non-trivial. Variant ids are doc_id*4 + {0: original, 1: near-dup
+# (one appended token), 2: exact copy} — a disjoint id namespace at ANY
+# corpus size (fixed +1M offsets would collide once documents > 1M rows).
 _AUG_SQL = """
-    SELECT doc_id, text FROM documents
-    UNION ALL SELECT doc_id + 1000000, text || ' dupmarker' FROM documents
-    UNION ALL SELECT doc_id + 2000000, text FROM documents
+    SELECT doc_id * 4 AS doc_id, text FROM documents
+    UNION ALL SELECT doc_id * 4 + 1, text || ' dupmarker' FROM documents
+    UNION ALL SELECT doc_id * 4 + 2, text FROM documents
 """
 
 
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    near = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), F.concat("text", F.lit(" dupmarker")).alias("text"))
-    exact = docs.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
-    return docs.unionByName(near).unionByName(exact)
+    orig = docs.select((F.col("doc_id") * 4).alias("doc_id"), "text")
+    near = docs.select((F.col("doc_id") * 4 + 1).alias("doc_id"), F.concat("text", F.lit(" dupmarker")).alias("text"))
+    exact = docs.select((F.col("doc_id") * 4 + 2).alias("doc_id"), "text")
+    return orig.unionByName(near).unionByName(exact)
 
 
 @register(
@@ -788,8 +791,8 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_ngram_jaccard",
     """
     WITH corpus AS (
-      SELECT doc_id, source, text FROM documents
-      UNION ALL SELECT doc_id + 1000000, source, text || ' dupmarker' FROM documents),
+      SELECT doc_id * 4 AS doc_id, source, text FROM documents
+      UNION ALL SELECT doc_id * 4 + 1, source, text || ' dupmarker' FROM documents),
     sh AS (
       SELECT doc_id, source,
              list_distinct([array_to_string(ws[i:i+2], ' ')
@@ -812,12 +815,13 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard near-dup, bucketed by source so the shingle
     join never crosses buckets (SURVEY-style partition discipline)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    orig = docs.select((F.col("doc_id") * 4).alias("doc_id"), "source", "text")
     near = docs.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") * 4 + 1).alias("doc_id"),
         "source",
         F.concat("text", F.lit(" dupmarker")).alias("text"),
     )
-    corpus = docs.unionByName(near)
+    corpus = orig.unionByName(near)
     return (
         D.ngram_jaccard_pairs(corpus, bucket_col="source", threshold=0.8, n=3)
         .select("doc_a", "doc_b", "jaccard")
@@ -860,7 +864,7 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM contrib GROUP BY doc_id)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 4 = 0
     ORDER BY doc_a
     """,
 )
@@ -869,10 +873,10 @@ def docs_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected near-duplicate (expected small)."""
     corpus = _augmented_docs(spark, sf_dir)
     sh = D.simhash32(corpus)
-    a = sh.alias("a")
+    a = sh.filter(F.col("doc_id") % 4 == 0).alias("a")
     b = sh.alias("b")
     return (
-        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1000000)
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -1182,6 +1186,7 @@ def order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN doc_id % 10 < 8 THEN 'hot-host' ELSE 'host' || CAST(doc_id % 5 AS VARCHAR) END AS host,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars
     FROM documents GROUP BY host ORDER BY host
@@ -1207,6 +1212,7 @@ def salted_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         {
             "total_chars": ("sum", "n_chars"),
             "n_docs": ("count", "n_chars"),
+            "avg_chars": ("avg", "n_chars"),
             "min_chars": ("min", "n_chars"),
             "max_chars": ("max", "n_chars"),
         },
@@ -1217,6 +1223,7 @@ def salted_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host",
         F.col("total_chars").cast("bigint").alias("total_chars"),
         "n_docs",
+        F.round("avg_chars", 4).alias("avg_chars"),
         F.col("min_chars").cast("bigint").alias("min_chars"),
         F.col("max_chars").cast("bigint").alias("max_chars"),
     ).orderBy("host")
