@@ -19,36 +19,44 @@ from pyspark.sql import functions as F
 # Vietnamese uppercase letters (for heading patterns); Java-regex safe.
 _VUP = "A-ZĐÁÀẢÃẠĂẮẰẲẴẶÂẤẦẨẪẬÉÈẺẼẸÊẾỀỂỄỆÍÌỈĨỊÓÒỎÕỌÔỐỒỔỖỘƠỚỜỞỠỢÚÙỦŨỤƯỨỪỬỮỰÝỲỶỸỴ"
 
-# One compiled alternation replacing the reference's 24-pattern
-# if/elif battery (pipeline.py:262-288). A line STARTS a new paragraph
-# iff it matches.
-NEW_PARAGRAPH_PATTERN = "|".join(
-    [
-        r"^Chương\s+[IVXLCDM]+",          # chapter
-        r"^Mục\s+\d+",                    # section
-        r"^Điều\s+\d+\s*[.:]",            # article
-        r"^\d+\.",                        # numbered clause  "1."
-        r"^[a-zđ]\)",                     # lettered point   "a)"
-        r"^-\s",                          # dash bullet
-        r"^\+\s",                         # plus bullet
-        r"^PHỤ\s+LỤC",                    # appendix
-        r"^Căn\s+cứ\b",                   # legal basis
-        r"^Theo\s+đề\s+nghị\b",           # per-proposal
-        r"^Số\s*:",                       # number field
-        r"^Nơi\s+nhận\s*:",               # recipients
-        r"^[IVXLCDM]+\s*[.\-]",           # roman numeral heading
-        rf"^[{_VUP}][{_VUP}\s,\-–/]{{8,}}$",  # ALL-CAPS heading line
-        r"^KT\.\s",                       # signing authority
-        r"^TM\.\s",
-        r"^QUYẾT\s+ĐỊNH",
-        r"^NGHỊ\s+ĐỊNH",
-        r"^THÔNG\s+TƯ",
-    ]
-)
+# The reference's 25-pattern new-paragraph battery (pipeline.py:262-288),
+# verbatim semantics, compiled to one alternation. A line STARTS a new
+# paragraph iff it matches. (Portable across Java regex and RE2 — no
+# lookarounds — so the DuckDB oracle replays the identical pattern.)
+NEW_PARAGRAPH_PATTERNS: list[str] = [
+    r"^Chương\s+[IVXLCDM]+",
+    r"^Mục\s+\d+",
+    r"^Điều\s+\d+",
+    r"^\d+\.\s",
+    r"^[a-zđ]\)\s",
+    r"^-\s",
+    r"^PHỤ LỤC",
+    r"^NGHỊ ĐỊNH",
+    r"^Căn cứ",
+    r"^Theo đề nghị",
+    r"^Nơi nhận:",
+    r"^TM\.",
+    r"^CỘNG HÒA",
+    r"^CHÍNH PHỦ",
+    r"^Số:",
+    r"^Hà Nội,",
+    r"^Biểu số",
+    r"^BẢNG",
+    r"^TT$",
+    r"^I\.\s",
+    r"^II\.\s",
+    r"^III\.\s",
+    r"^IV\.\s",
+    r"^V\.\s",
+    r"^VI\.\s",
+]
+NEW_PARAGRAPH_PATTERN = "|".join(NEW_PARAGRAPH_PATTERNS)
 
-SENTENCE_END_PATTERN = r"[.;:?!]$"              # pipeline.py:311
-DIEU_TITLE_PATTERN = r"^Điều\s+\d+\.\s.+$"      # pipeline.py:291,308
-TOOLTIP_NOISE = "Click vào để xem nội dung"     # pipeline.py:148
+SENTENCE_END_PATTERN = r"[.;:?!]$"                   # pipeline.py:311
+# buffer-flush rule: the ACCUMULATED buffer is re.search'd against this
+# (pipeline.py:291,308) — not just the previous line
+DIEU_TITLE_END_PATTERN = r"Điều\s+\d+\.\s+[^\n]+$"
+TOOLTIP_NOISE = "Click vào để xem nội dung"          # pipeline.py:148
 
 
 def is_new_paragraph(line: Column) -> Column:
@@ -60,29 +68,96 @@ def ends_sentence(line: Column) -> Column:
 
 
 def is_dieu_title(line: Column) -> Column:
-    return line.rlike(DIEU_TITLE_PATTERN)
+    return line.rlike(DIEU_TITLE_END_PATTERN)
 
 
-# Ordered postprocess fold — semantics of the reference's 14-step regex
-# battery (pipeline.py:339-382, postprocess.py:20-49). ORDER-SENSITIVE:
-# applied as a fixed fold, tested against a Python oracle.
-POSTPROCESS_STEPS: list[tuple[str, str]] = [
-    (r"\[Click vào để xem nội dung\]", ""),     # strip click-notes (pipeline.py:342)
-    (r"(?m)^\s*\.\s*$", ""),                    # lone-dot lines     (pipeline.py:345)
-    (r"[ \t]+\n", "\n"),                        # trailing ws
-    (r"\n{3,}", "\n\n"),                        # blank-line collapse (pipeline.py:380)
-    (r"[ \t]{2,}", " "),                        # inner ws collapse
-]
+# ---------------------------------------------------------------------------
+# The full doc_name-parameterized postprocess fold (reference:
+# pipeline.py:325-384). ORDER-SENSITIVE — applied as one fixed fold.
+# Character classes are the reference's Vietnamese upper/lowercase sets
+# (pipeline.py:368-372), kept byte-identical so titles match the same way.
+# ---------------------------------------------------------------------------
+
+# Vietnamese lowercase letters (pipeline.py:368 lowercase class)
+_VLO = "a-zđàáảãạăắằẳẵặâấầẩẫậèéẻẽẹêếềểễệìíỉĩịòóỏõọôốồổỗộơớờởỡợùúủũụưứừửữựỳýỷỹỵ"
+# title tail: "Điều N." + spaces + Uppercase + lowercase word (pipeline.py:367-368)
+_DIEU_TITLE_BODY = rf"Điều\s+\d+\.[ \t]+[{_VUP}][{_VLO}]+"
+# quote class: ASCII " plus curly “ ” (pipeline.py:360,368,374)
+_QUOTES = '"“”'
+
+CLICK_NOTE = "[Click vào để xem nội dung]"  # pipeline.py:342-343
+
+# regex metachars to escape when a doc_name is interpolated into a
+# pattern (the engine's analogue of re.escape, pipeline.py:374,376;
+# escaping only true metachars keeps the pattern valid in both Java
+# regex and RE2 — escape-rule differences on safe chars don't change
+# what the pattern matches)
+_META = r"([.^$|?*+()\[\]{}\\])"
 
 
-def postprocess_text(text: Column) -> Column:
-    """Apply the ordered regex fold as chained regexp_replace (codegen'd)."""
-    out = text
-    for pat, rep in POSTPROCESS_STEPS:
-        out = F.regexp_replace(out, pat, rep)
-    # Spark's ltrim strips spaces only; the reference lstrips all
-    # whitespace incl. newlines (pipeline.py:382)
-    return F.regexp_replace(out, r"^\s+", "")
+def regex_escape(col: Column) -> Column:
+    """Escape regex metacharacters in a column value (re.escape analogue)."""
+    return F.regexp_replace(col, _META, r"\\$1")
+
+
+def replacement_escape(col: Column) -> Column:
+    r"""Escape \ and $ so a column value is literal inside a Java-regex
+    replacement string."""
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    return F.regexp_replace(out, r"\$", r"\\\$")
+
+
+def postprocess_fold(content: Column, doc_name: Column) -> Column:
+    """The reference's ordered 14-step regex rewrite (pipeline.py:339-382),
+    parameterized by doc_name, as a chained regexp_replace fold — pure
+    Catalyst expressions (whole-stage codegen'd), no Python in the path.
+
+    Steps, in the reference's order:
+       1 lone-dot line removal                      (pipeline.py:339)
+       2 click-note strip (with/without space)      (pipeline.py:342-343)
+       3 khoản split after ']' (newline form)       (pipeline.py:346)
+       4 khoản split after ']' (inline form)        (pipeline.py:347)
+       5 doc_name prefix before Chương              (pipeline.py:350)
+       6 doc_name prefix before Mục                 (pipeline.py:353)
+       7 lone-quote join onto following Điều        (pipeline.py:360)
+       8 break + prefix mid-line Điều titles        (pipeline.py:368)
+       9 prefix line-start Điều titles              (pipeline.py:370)
+      10 join split "Điều N.\\nTitle" + prefix       (pipeline.py:372)
+      11 de-prefix quoted (cited) Điều              (pipeline.py:374)
+      12 blank line before doc_name. Điều           (pipeline.py:376)
+      13 collapse 3+ newlines                       (pipeline.py:379)
+      14 strip leading newlines                     (pipeline.py:382)
+    """
+    dn_pat = regex_escape(doc_name)          # doc_name as a literal pattern
+    dn_rep = replacement_escape(doc_name)    # doc_name as a literal replacement
+    c = content
+    c = F.regexp_replace(c, r"\n\.\n", "\n")                                   # 1
+    c = F.replace(c, F.lit(" " + CLICK_NOTE), F.lit(""))                       # 2a
+    c = F.replace(c, F.lit(CLICK_NOTE), F.lit(""))                             # 2b
+    c = F.regexp_replace(c, r"\]\s+(\d+\.)\s*\n", "]\n$1\n")                   # 3
+    c = F.regexp_replace(c, r"\]\s+(\d+\.)\s+", "]\n$1 ")                      # 4
+    c = F.regexp_replace(c, r"(Chương\s+[IVXLCDM]+)", F.concat(F.lit("\n"), dn_rep, F.lit(". $1")))  # 5
+    c = F.regexp_replace(c, r"(Mục\s+\d+\.)", F.concat(F.lit("\n"), dn_rep, F.lit(". $1")))          # 6
+    c = F.regexp_replace(c, rf"[{_QUOTES}]\s*\n+\s*(Điều)", '"$1')             # 7
+    c = F.regexp_replace(
+        c,
+        rf"([^\n{_QUOTES}])({_DIEU_TITLE_BODY})",
+        F.concat(F.lit("$1\n\n"), dn_rep, F.lit(". $2")),
+    )                                                                          # 8
+    c = F.regexp_replace(
+        c, rf"(?m)^({_DIEU_TITLE_BODY})", F.concat(dn_rep, F.lit(". $1"))
+    )                                                                          # 9
+    c = F.regexp_replace(
+        c, rf"(?m)^(Điều\s+\d+\.)\n([{_VUP}])", F.concat(dn_rep, F.lit(". $1 $2"))
+    )                                                                          # 10
+    c = F.regexp_replace(
+        c, F.concat(F.lit(f"[{_QUOTES}]"), dn_pat, F.lit(r"\. (Điều)")), F.lit('"$1')
+    )                                                                          # 11
+    c = F.regexp_replace(
+        c, F.concat(F.lit(r"\n("), dn_pat, F.lit(r"\. Điều)")), F.lit("\n\n$1")
+    )                                                                          # 12
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")                                 # 13
+    return F.regexp_replace(c, r"^\n+", "")                                    # 14
 
 
 def merge_lines_to_paragraphs(
@@ -91,11 +166,18 @@ def merge_lines_to_paragraphs(
     offset_col: str = "offset",
     line_col: str = "line",
 ) -> DataFrame:
-    """Line→paragraph merge as window sessionization.
+    """Line→paragraph merge as window sessionization — the SCALABLE
+    approximation of the reference's buffer machine.
 
     The reference walks lines with a mutable buffer, flushing when the
     buffer ends a sentence / completes an Điều title, and starting a new
-    paragraph on structural markers (pipeline.py:256-322). Re-expressed:
+    paragraph on structural markers (pipeline.py:256-322). This variant
+    tests the flush predicates against the PREVIOUS LINE instead of the
+    accumulated buffer (the reference re.search's the buffer — an
+    inherently sequential rule; `merge_lines_exact` below reproduces it
+    bit-for-bit via a grouped-map UDF). The two differ only when an
+    "Điều N. <title>" marker enters a paragraph mid-buffer without
+    ending its line. Re-expressed:
 
       new_para(line i) = is_new_paragraph(i) OR flush-after(i-1)
       para_id          = cumulative sum of new_para over doc order
@@ -133,3 +215,71 @@ def merge_lines_to_paragraphs(
         )
         .drop("para_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact merge machine — the reference's buffer semantics bit-for-bit
+# (pipeline.py:293-322), per-document inside an Arrow-batched grouped map.
+# Per-doc order is the unit of work, so groupBy(doc_id).applyInPandas is
+# the natural (and shuffle-minimal: one shuffle on doc_id) layout.
+# ---------------------------------------------------------------------------
+
+MERGED_SCHEMA = "doc_id string, para_offset int, paragraph string"
+
+
+def merge_buffer_machine(lines: list[str]) -> list[str]:
+    """The reference's line→paragraph fold (pipeline.py:293-322): a
+    mutable buffer that (a) flushes before any structural-marker line,
+    (b) flushes after itself when it ends a sentence or when the
+    ACCUMULATED buffer matches the Điều-title pattern (re.search — an
+    'Điều N. <title>' anywhere in the buffer with a non-empty tail
+    triggers the flush, not just the previous line)."""
+    import re
+
+    new_para = [re.compile(p) for p in NEW_PARAGRAPH_PATTERNS]
+    dieu_end = re.compile(DIEU_TITLE_END_PATTERN)
+    sent_end = re.compile(SENTENCE_END_PATTERN)
+    result: list[str] = []
+    buffer = ""
+    for line in lines:
+        line = line.strip()
+        if not line:
+            continue
+        if any(p.match(line) for p in new_para):
+            if buffer:
+                result.append(buffer)
+            buffer = line
+        elif buffer:
+            if dieu_end.search(buffer) or sent_end.search(buffer):
+                result.append(buffer)
+                buffer = line
+            else:
+                buffer = buffer + " " + line
+        else:
+            buffer = line
+    if buffer:
+        result.append(buffer)
+    return result
+
+
+def merge_lines_exact(
+    lines: DataFrame,
+    doc_col: str = "doc_id",
+    offset_col: str = "offset",
+    line_col: str = "line",
+) -> DataFrame:
+    """Exact line→paragraph merge: one grouped-map task per document runs
+    the reference's buffer machine over its ordered lines. para_offset is
+    the paragraph's position in the output (0-based), matching the
+    sequential oracle."""
+    import pandas as pd
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(offset_col)
+        doc = str(pdf[doc_col].iloc[0])
+        paras = merge_buffer_machine(list(pdf[line_col]))
+        return pd.DataFrame(
+            {"doc_id": doc, "para_offset": range(len(paras)), "paragraph": paras}
+        )
+
+    return lines.groupBy(doc_col).applyInPandas(run, MERGED_SCHEMA)

@@ -1078,7 +1078,7 @@ def spans_lookback_title(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .functions.text import (  # noqa: E402
-    DIEU_TITLE_PATTERN,
+    DIEU_TITLE_END_PATTERN,
     NEW_PARAGRAPH_PATTERN,
     SENTENCE_END_PATTERN,
     merge_lines_to_paragraphs,
@@ -1107,7 +1107,7 @@ from .functions.text import (  # noqa: E402
       SELECT doc_id, "offset", line,
              CASE WHEN lag(line) OVER w IS NULL
                    OR regexp_matches(lag(line) OVER w, '{SENTENCE_END_PATTERN}')
-                   OR regexp_matches(lag(line) OVER w, '{DIEU_TITLE_PATTERN}')
+                   OR regexp_matches(lag(line) OVER w, '{DIEU_TITLE_END_PATTERN}')
                    OR regexp_matches(line, $${NEW_PARAGRAPH_PATTERN}$$)
                   THEN 1 ELSE 0 END AS new_para
       FROM lines WHERE trim(line) != ''
@@ -1129,12 +1129,23 @@ def docs_paragraph_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the documents table with injected structural markers (Điều
     headings, sentence ends) so the state machine has real work. The
     DuckDB oracle replays the same lag/cumsum semantics."""
+    lines = _synthesized_lines(spark, sf_dir)
+    merged = merge_lines_to_paragraphs(lines, doc_col="doc_id", offset_col="offset", line_col="line")
+    return merged.select(
+        "doc_id", "para_offset", F.md5("paragraph").alias("para_fp")
+    ).orderBy("doc_id", "para_offset")
+
+
+def _synthesized_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered (doc_id, offset, line) rows with injected structural
+    markers (Điều headings on every 3rd line, sentence ends on 4k+1
+    lines) — shared input of the two paragraph-merge queries."""
     from .operators.spans import explode_to_spans
 
     docs = load(spark, sf_dir, "documents")
     raw = explode_to_spans(docs).filter(F.col("kind") == "text")
-    # same offsets as the SQL: the i-th text line (not the interleaved offset)
-    lines = raw.select(
+    # dense 0-based line index (not the interleaved span offset)
+    return raw.select(
         "doc_id",
         (F.col("offset") - F.floor(F.col("offset") / 5)).cast("int").alias("offset"),
         F.col("text").alias("rawline"),
@@ -1149,10 +1160,190 @@ def docs_paragraph_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("rawline"))
         .alias("line"),
     )
-    merged = merge_lines_to_paragraphs(lines, doc_col="doc_id", offset_col="offset", line_col="line")
-    return merged.select(
-        "doc_id", "para_offset", F.md5("paragraph").alias("para_fp")
-    ).orderBy("doc_id", "para_offset")
+
+
+@register(
+    "docs_paragraph_merge_exact",
+    f"""
+    WITH RECURSIVE
+    base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INT) AS nt
+      FROM documents),
+    rawlines AS (
+      SELECT doc_id, i AS off,
+             array_to_string(ws[(i*12)+1 : least((i+1)*12, len(ws))], ' ') AS rawline
+      FROM (SELECT doc_id, unnest(generate_series(0, nt - 1)) AS i, ws FROM base)),
+    lines AS (
+      SELECT doc_id, off,
+             CASE WHEN off % 3 = 0
+                    THEN 'Điều ' || CAST(off + 1 AS VARCHAR) || '. ' || rawline
+                  WHEN off % 4 = 1 THEN rawline || '.'
+                  ELSE rawline END AS line
+      FROM rawlines),
+    n AS (SELECT doc_id, max(off) AS maxo FROM lines GROUP BY doc_id),
+    -- sequential replay of the reference buffer machine (pipeline.py:293-322):
+    -- state (buf, paras) advances one line per recursion step, per doc
+    walk AS (
+      SELECT doc_id, 0 AS i, '' AS buf, []::VARCHAR[] AS paras FROM n
+      UNION ALL
+      SELECT w.doc_id, w.i + 1,
+        CASE
+          WHEN trim(l.line) = '' THEN w.buf
+          WHEN regexp_matches(trim(l.line), $${NEW_PARAGRAPH_PATTERN}$$) THEN trim(l.line)
+          WHEN w.buf = '' THEN trim(l.line)
+          WHEN regexp_matches(w.buf, '{DIEU_TITLE_END_PATTERN}')
+            OR regexp_matches(w.buf, '{SENTENCE_END_PATTERN}') THEN trim(l.line)
+          ELSE w.buf || ' ' || trim(l.line)
+        END AS buf,
+        CASE
+          WHEN trim(l.line) = '' THEN w.paras
+          WHEN regexp_matches(trim(l.line), $${NEW_PARAGRAPH_PATTERN}$$)
+            THEN CASE WHEN w.buf != '' THEN list_append(w.paras, w.buf) ELSE w.paras END
+          WHEN w.buf = '' THEN w.paras
+          WHEN regexp_matches(w.buf, '{DIEU_TITLE_END_PATTERN}')
+            OR regexp_matches(w.buf, '{SENTENCE_END_PATTERN}') THEN list_append(w.paras, w.buf)
+          ELSE w.paras
+        END AS paras
+      FROM walk w JOIN lines l ON l.doc_id = w.doc_id AND l.off = w.i),
+    final AS (
+      SELECT w.doc_id,
+             CASE WHEN w.buf != '' THEN list_append(w.paras, w.buf) ELSE w.paras END AS paras
+      FROM walk w JOIN n ON n.doc_id = w.doc_id AND w.i = n.maxo + 1)
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(unnest(range(len(paras))) AS BIGINT) AS para_offset,
+           unnest(paras) AS paragraph
+    FROM final ORDER BY doc_id, para_offset
+    """,
+)
+def docs_paragraph_merge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference buffer machine run EXACTLY (accumulated-buffer flush
+    rule, pipeline.py:293-322) as one Arrow-batched grouped-map task per
+    document; the DuckDB oracle replays the same machine sequentially
+    via a recursive CTE — a genuinely independent state-machine
+    implementation, not a mirror of the window trick."""
+    from .functions.text import merge_lines_exact
+
+    lines = _synthesized_lines(spark, sf_dir)
+    return (
+        merge_lines_exact(lines)
+        .select("doc_id", F.col("para_offset").cast("bigint").alias("para_offset"), "paragraph")
+        .orderBy("doc_id", "para_offset")
+    )
+
+
+# --- docs_postprocess: the full 14-step doc_name-parameterized regex fold ---
+
+_VUP_SQL = "A-ZĐÀÁẢÃẠĂẮẰẲẴẶÂẤẦẨẪẬÈÉẺẼẸÊẾỀỂỄỆÌÍỈĨỊÒÓỎÕỌÔỐỒỔỖỘƠỚỜỞỠỢÙÚỦŨỤƯỨỪỬỮỰỲÝỶỸỴ"
+_VLO_SQL = "a-zđàáảãạăắằẳẵặâấầẩẫậèéẻẽẹêếềểễệìíỉĩịòóỏõọôốồổỗộơớờởỡợùúủũụưứừửữựỳýỷỹỵ"
+_DIEU_TITLE_SQL = rf"Điều\s+\d+\.[ \t]+[{_VUP_SQL}][{_VLO_SQL}]+"
+
+# doc_name per document; the '.'-separated variant exercises regex escaping
+_DOC_NAME_SQL = """CASE doc_id % 3
+    WHEN 0 THEN 'Nghị định ' || CAST(doc_id AS VARCHAR) || '/2020/NĐ-CP'
+    WHEN 1 THEN 'Thông tư ' || CAST(doc_id AS VARCHAR) || '.2021.TT-BYT'
+    ELSE 'Luật số ' || CAST(doc_id AS VARCHAR) || '/2019/QH14' END"""
+
+# marker-rich raw content: every fold step has work (lone dot, click-notes,
+# khoản-after-], Chương/Mục, line-start + mid-line + split Điều titles,
+# quote-join + quote-exclusion, forced step-11 de-prefix, blank-run)
+_PP_CONTENT_SQL = """chr(10) || chr(10) || 'CHÍNH PHỦ' || chr(10)
+    || 'Số: ' || CAST(doc_id AS VARCHAR) || '/2020' || chr(10)
+    || '.' || chr(10)
+    || 'Căn cứ Luật Tổ chức Chính phủ [Click vào để xem nội dung] ngày 19;' || chr(10)
+    || 'Chương I' || chr(10) || 'QUY ĐỊNH CHUNG' || chr(10)
+    || 'Điều 1. Phạm vi điều chỉnh' || chr(10)
+    || substr(text, 1, 50) || ' xem thêm Điều 2. Đối tượng áp dụng' || chr(10)
+    || 'Điều 3.' || chr(10) || 'Nội dung quản lý ' || substr(text, 51, 30) || chr(10)
+    || '“' || chr(10) || 'Điều 4. Trích dẫn được giữ nguyên văn' || chr(10)
+    || 'Mục 1. Quy định chung' || chr(10)
+    || 'được quy định tại khoản 2 Điều 5.' || chr(10)
+    || '[căn cứ] 2. Khoản bị dính vào ngoặc' || chr(10)
+    || 'nội dung [Click vào để xem nội dung]' || chr(10)
+    || '“' || dn || '. Điều 9 dẫn chiếu' || chr(10)
+    || substr(text, 1, 30) || chr(10) || chr(10) || chr(10) || chr(10) || 'hết'"""
+
+
+@register(
+    "docs_postprocess",
+    rf"""
+    WITH named AS (SELECT doc_id, text, {_DOC_NAME_SQL} AS dn FROM documents),
+    raw AS (SELECT doc_id, dn, {_PP_CONTENT_SQL} AS content FROM named),
+    esc AS (SELECT doc_id, dn, content,
+            regexp_replace(dn, '([.^$|?*+()\[\]{{}}\\])', '\\\1', 'g') AS dnp,
+            replace(dn, '\', '\\') AS dnr FROM raw)
+    SELECT doc_id, dn AS doc_name,
+     regexp_replace(
+      regexp_replace(
+       regexp_replace(
+        regexp_replace(
+         regexp_replace(
+          regexp_replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(
+               regexp_replace(
+                regexp_replace(
+                 replace(replace(
+                  regexp_replace(content, '\n\.\n', chr(10), 'g'),
+                  ' [Click vào để xem nội dung]', ''), '[Click vào để xem nội dung]', ''),
+                 '\]\s+(\d+\.)\s*\n', ']' || chr(10) || '\1' || chr(10), 'g'),
+                '\]\s+(\d+\.)\s+', ']' || chr(10) || '\1 ', 'g'),
+               '(Chương\s+[IVXLCDM]+)', chr(10) || dnr || '. \1', 'g'),
+              '(Mục\s+\d+\.)', chr(10) || dnr || '. \1', 'g'),
+             '["“”]\s*\n+\s*(Điều)', '"\1', 'g'),
+            '([^\n"“”])({_DIEU_TITLE_SQL})',
+              '\1' || chr(10) || chr(10) || dnr || '. \2', 'g'),
+           '(?m)^({_DIEU_TITLE_SQL})', dnr || '. \1', 'g'),
+          '(?m)^(Điều\s+\d+\.)\n([{_VUP_SQL}])', dnr || '. \1 \2', 'g'),
+         '["“”]' || dnp || '\. (Điều)', '"\1', 'g'),
+        '\n(' || dnp || '\. Điều)', chr(10) || chr(10) || '\1', 'g'),
+       '\n{{3,}}', chr(10) || chr(10), 'g'),
+      '^\n+', '') AS processed
+    FROM esc ORDER BY doc_id
+    """,
+)
+def docs_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full postprocess battery (SURVEY §2.8 F2,
+    pipeline.py:325-384): a doc_name-parameterized, ORDER-SENSITIVE fold
+    of 14 regex rewrites, run as chained regexp_replace column
+    expressions (whole-stage codegen — no Python). Content is
+    synthesized marker-rich from the documents table; the DuckDB oracle
+    replays the identical fold with RE2, and tests/test_text.py checks
+    the fold against a verbatim Python port of the reference on the
+    same fixtures."""
+    from .functions.text import postprocess_fold
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    nl = "\n"
+    dn = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("Nghị định "), F.col("doc_id").cast("string"), F.lit("/2020/NĐ-CP")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("Thông tư "), F.col("doc_id").cast("string"), F.lit(".2021.TT-BYT")))
+        .otherwise(F.concat(F.lit("Luật số "), F.col("doc_id").cast("string"), F.lit("/2019/QH14")))
+    )
+    content = F.concat(
+        F.lit(nl + nl + "CHÍNH PHỦ" + nl + "Số: "), F.col("doc_id").cast("string"), F.lit("/2020" + nl),
+        F.lit("." + nl),
+        F.lit("Căn cứ Luật Tổ chức Chính phủ [Click vào để xem nội dung] ngày 19;" + nl),
+        F.lit("Chương I" + nl + "QUY ĐỊNH CHUNG" + nl),
+        F.lit("Điều 1. Phạm vi điều chỉnh" + nl),
+        F.substring("text", 1, 50), F.lit(" xem thêm Điều 2. Đối tượng áp dụng" + nl),
+        F.lit("Điều 3." + nl + "Nội dung quản lý "), F.substring("text", 51, 30), F.lit(nl),
+        F.lit("“" + nl + "Điều 4. Trích dẫn được giữ nguyên văn" + nl),
+        F.lit("Mục 1. Quy định chung" + nl),
+        F.lit("được quy định tại khoản 2 Điều 5." + nl),
+        F.lit("[căn cứ] 2. Khoản bị dính vào ngoặc" + nl),
+        F.lit("nội dung [Click vào để xem nội dung]" + nl),
+        F.lit("“"), dn, F.lit(". Điều 9 dẫn chiếu" + nl),
+        F.substring("text", 1, 30), F.lit(nl + nl + nl + nl + "hết"),
+    )
+    return (
+        docs.withColumn("doc_name", dn)
+        .withColumn("processed", postprocess_fold(content, F.col("doc_name")))
+        .select("doc_id", "doc_name", "processed")
+        .orderBy("doc_id")
+    )
 
 
 @register(
