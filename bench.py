@@ -25,7 +25,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from thuvienphapluat_crawler_spark import queries as Q
 from thuvienphapluat_crawler_spark.session import get_spark
 
-# quadratic-on-this-corpus pair queries excluded from the headline set
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
@@ -49,7 +48,13 @@ BENCH_QUERIES = [
     "docs_quality",
     "docs_lang_id",
     "docs_minhash_sigs",
+    "docs_minhash_lsh_pairs",  # benchable since the hot-bucket cap (r02)
+    "docs_ngram_jaccard",
     "docs_simhash",
+    "docs_simhash_hamming",
+    "docs_postprocess",
+    "docs_paragraph_merge",
+    "docs_paragraph_merge_exact",
     "emb_knn_bruteforce",
     "emb_knn_lsh",
 ]

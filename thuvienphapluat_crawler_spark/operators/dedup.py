@@ -29,7 +29,13 @@ from .textstats import doc_fingerprint, token_hash32, tokens
 
 MINHASH_P = 2_147_483_647  # 2^31 - 1
 MINHASH_K = 16
-MINHASH_BANDS = 4  # 4 rows per band
+MINHASH_BANDS = 2  # 8 rows per band: selective bands → few false candidates
+# Hot-bucket guard: a bucket of |B| docs yields |B|(|B|-1)/2 candidate
+# pairs, so one boilerplate bucket at web scale degenerates to O(n²).
+# Buckets above this size are DROPPED from candidate generation (bounding
+# worst-case work per bucket at C(64,2)=2016 pairs); use
+# lsh_dropped_buckets() to observe what was skipped — never a silent cap.
+LSH_MAX_BUCKET = 64
 
 _rng = np.random.RandomState(42)
 MINHASH_A: list[int] = [int(x) for x in _rng.randint(1, MINHASH_P, size=MINHASH_K)]
@@ -85,10 +91,28 @@ def minhash_bands(sigs: DataFrame) -> DataFrame:
     return res
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def _bucket_sizes(bands: DataFrame) -> DataFrame:
+    return bands.groupBy("band", "band_hash").agg(F.count("*").alias("bucket_size"))
+
+
+def lsh_dropped_buckets(bands: DataFrame, max_bucket_size: int = LSH_MAX_BUCKET) -> DataFrame:
+    """Observability for the hot-bucket guard: (band, band_hash,
+    bucket_size) of every bucket excluded from candidate generation."""
+    return _bucket_sizes(bands).filter(F.col("bucket_size") > max_bucket_size)
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, max_bucket_size: int | None = LSH_MAX_BUCKET
+) -> DataFrame:
     """Docs sharing any LSH band bucket → distinct (doc_a < doc_b) pairs.
-    Self-join on (band, band_hash): the shuffle key is the bucket, so
-    hot buckets are the skew to watch — AQE skew-join splits them."""
+    Self-join on (band, band_hash); buckets larger than max_bucket_size
+    are dropped first (a degenerate boilerplate bucket would otherwise
+    emit |B|² pairs — THE failure mode of LSH dedup at 100 TB). The size
+    filter is one extra aggregation on the same shuffle key, so no new
+    shuffle; pass max_bucket_size=None to disable the guard."""
+    if max_bucket_size is not None:
+        sizes = _bucket_sizes(bands).filter(F.col("bucket_size") <= max_bucket_size)
+        bands = bands.join(sizes.select("band", "band_hash"), ["band", "band_hash"])
     l = bands.alias("l")
     r = bands.alias("r")
     return (

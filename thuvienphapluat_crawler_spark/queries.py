@@ -754,8 +754,10 @@ def _minhash_lsh_oracle() -> str:
          th AS (SELECT DISTINCT doc_id, {_TOKHASH_SQL} AS h FROM toks),
          sigs AS (SELECT doc_id, {sig_cols} FROM th GROUP BY doc_id),
          bands AS ({band_selects}),
+         kept AS (SELECT * FROM bands
+                  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= {D.LSH_MAX_BUCKET}),
          pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-                   FROM bands l JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+                   FROM kept l JOIN kept r ON l.band = r.band AND l.band_hash = r.band_hash
                    WHERE l.doc_id < r.doc_id),
          sizes AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
          inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
