@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "docs_simhash",
     "docs_simhash_hamming",
     "docs_postprocess",
+    "html_extract_docs",
     "docs_paragraph_merge",
     "docs_paragraph_merge_exact",
     "emb_knn_bruteforce",

@@ -194,8 +194,10 @@ def merge_lines_to_paragraphs(
         | is_dieu_title(prev)
     )
     starts = is_new_paragraph(F.col(line_col)) | flush_after_prev
+    stripped = F.regexp_replace(F.col(line_col), r"^\s+|\s+$", "")  # line.strip(), pipeline.py:294
     with_pid = (
-        lines.filter(F.trim(F.col(line_col)) != "")   # empty-line filter (pipeline.py:295)
+        lines.withColumn(line_col, stripped)
+        .filter(F.col(line_col) != "")                # empty-line filter (pipeline.py:295)
         .withColumn("_new_para", starts.cast("int"))
         .withColumn("para_id", F.sum("_new_para").over(w))
     )

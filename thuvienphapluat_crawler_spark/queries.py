@@ -1105,6 +1105,9 @@ from .functions.text import (  # noqa: E402
                   WHEN "offset" % 4 = 1 THEN rawline || '.'
                   ELSE rawline END AS line
       FROM rawlines),
+    stripped AS (
+      SELECT doc_id, "offset", trim(line) AS line
+      FROM lines WHERE trim(line) != ''),
     flagged AS (
       SELECT doc_id, "offset", line,
              CASE WHEN lag(line) OVER w IS NULL
@@ -1112,7 +1115,7 @@ from .functions.text import (  # noqa: E402
                    OR regexp_matches(lag(line) OVER w, '{DIEU_TITLE_END_PATTERN}')
                    OR regexp_matches(line, $${NEW_PARAGRAPH_PATTERN}$$)
                   THEN 1 ELSE 0 END AS new_para
-      FROM lines WHERE trim(line) != ''
+      FROM stripped
       WINDOW w AS (PARTITION BY doc_id ORDER BY "offset")
     ),
     paras AS (
@@ -1232,6 +1235,72 @@ def docs_paragraph_merge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("para_offset").cast("bigint").alias("para_offset"), "paragraph")
         .orderBy("doc_id", "para_offset")
     )
+
+
+# --- html_extract_docs: the real HTML → elements → enriched-text path ------
+
+_HTML_FRAGS_SQL = """SELECT doc_id,
+       substr(text, 1, 20) AS f1, substr(text, 21, 15) AS f2,
+       substr(text, 36, 20) AS f3, substr(text, 56, 15) AS f4,
+       substr(text, 71, 15) AS f5, substr(text, 86, 20) AS f6,
+       doc_id % 9 AS k FROM documents"""
+
+
+@register(
+    "html_extract_docs",
+    rf"""
+    WITH f AS ({_HTML_FRAGS_SQL})
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(1 AS BIGINT) AS para_offset,
+           trim('Căn cứ ' || f1 || ';') AS paragraph FROM f
+    UNION ALL SELECT CAST(doc_id AS VARCHAR), 2,
+           trim(regexp_replace('Điều 1. ' || f2 || ' chỉnh', '\s+', ' ', 'g')) FROM f
+    UNION ALL SELECT CAST(doc_id AS VARCHAR), 4,
+           trim(f3 || ' văn bản liên quan [' || trim('giải thích ' || f5) || '] hết câu.') FROM f
+    UNION ALL SELECT CAST(doc_id AS VARCHAR), 5,
+           trim(f4 || ' chú giải và liên kết kép [' || trim('giải thích ' || f5) || '].') FROM f
+    UNION ALL SELECT CAST(doc_id AS VARCHAR), 7,
+           trim('bổ sung ' || f6) || ' [Điểm a Khoản ' || CAST(k AS VARCHAR) || ']' FROM f
+    ORDER BY doc_id, para_offset
+    """,
+)
+def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real DOM extract path (SURVEY §2.2 P2/P3, §2.3 J1/J2;
+    crawler.py:83-142, pipeline.py:129-255): raw HTML synthesized per
+    document → stdlib-parser mapInPandas stage → tooltip-class key
+    extraction as column regexes → broadcast tooltip/footnote joins →
+    Điều-heading normalization → flatten → line merge. The DuckDB
+    oracle states the EXPECTED paragraphs directly from the generator's
+    fragments — the engine must invert the HTML to match."""
+    from .sources.html_parse import extract_documents, parse_pages
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    nl = "\n"
+    sid = F.col("doc_id").cast("string")
+    f1, f2 = F.substring("text", 1, 20), F.substring("text", 21, 15)
+    f3, f4 = F.substring("text", 36, 20), F.substring("text", 56, 15)
+    f5, f6 = F.substring("text", 71, 15), F.substring("text", 86, 20)
+    tt = F.concat(F.lit("tt"), (F.col("doc_id") % 7).cast("string"))
+    lq = F.concat(F.lit("lq"), sid)
+    html = F.concat(
+        F.lit('<html><body><div class="menu">NAV NOISE</div>' + nl + '<div class="content1">' + nl + "Căn cứ "),
+        f1, F.lit(";" + nl),
+        F.lit("<b>Điều 1." + nl), f2, F.lit(" chỉnh</b>" + nl),
+        f3, F.lit(' <a atmm=".'), tt, F.lit('">văn bản liên quan</a> hết câu.' + nl),
+        f4, F.lit(" <span onmouseover=\"LS_Tootip_Type_Bookmark('."), lq,
+        F.lit("')\">chú giải</span> và <a atmm=\"."), tt,
+        F.lit("\" onmouseover=\"LS_Tootip_Type_Bookmark('."), lq, F.lit("')\">liên kết kép</a>." + nl),
+        F.lit('<huongdan id="span-note_'), sid, F.lit('">Bổ sung</huongdan>' + nl),
+        F.lit("</div>" + nl),
+        F.lit('<div class="'), tt, F.lit('">giải thích '), f5, F.lit("</div>"),
+        F.lit('<div class="'), lq, F.lit('">Click vào để xem nội dung</div>'),
+        F.lit('<div id="note_'), sid, F.lit('">bổ sung '), f6,
+        F.lit("|~|Điểm a Khoản "), (F.col("doc_id") % 9).cast("string"), F.lit("</div></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    out = extract_documents(parse_pages(pages))
+    return out.select(
+        "doc_id", F.col("para_offset").cast("bigint").alias("para_offset"), "paragraph"
+    ).orderBy("doc_id", "para_offset")
 
 
 # --- docs_postprocess: the full 14-step doc_name-parameterized regex fold ---

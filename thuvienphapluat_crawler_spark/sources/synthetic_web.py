@@ -145,3 +145,59 @@ def page_outlinks(url: str, world: World) -> list[str]:
 def seed_urls(world: World, per_host: int = 2) -> list[str]:
     """Deterministic seed list: first `per_host` doc numbers of each host."""
     return [make_url(h, n) for h in range(world.n_hosts) for n in range(min(per_host, world.host_sizes[h]))]
+
+
+def page_html(url: str) -> str:
+    """Deterministic page HTML for the fetch stand-in — the raw-DOM twin
+    of page_spans. Contains every extract-stage feature the reference
+    handles (crawler.py:83-142, pipeline.py:129-255): a content1 div,
+    nav noise outside it, a <b>Điều N.</b> heading with an embedded
+    newline, hover elements keyed via atmm AND via the onmouseover
+    regex (plus one with both — atmm must win), a noise tooltip, and a
+    '|~|' footnote."""
+    h_idx, _, doc_num = parse_url_parts(url)
+    words = page_words(url)
+
+    def w(a: int, b: int) -> str:
+        return " ".join(words[a:b])
+
+    tt = f"tt-{doc_num % 7}"
+    lq = f"lqhlTootip-{doc_num}"
+    note = f"note_khoan_{doc_num % 5}"
+    return (
+        '<html><body>\n<div class="menu">NAV NOISE MUST NOT APPEAR</div>\n'
+        '<div class="content1">\n'
+        f"Căn cứ {w(0, 4)};\n"
+        f"<b>Điều 1.\n{w(4, 7)} chỉnh</b>\n"
+        f'{w(7, 10)} <a atmm=".{tt}">văn bản liên quan</a> hết câu.\n'
+        f"{w(10, 13)} <span onmouseover=\"LS_Tootip_Type_Bookmark('.{lq}')\">chú giải</span> và "
+        f'<a atmm=".{tt}" onmouseover="LS_Tootip_Type_Bookmark(\'.{lq}\')">liên kết kép</a>.\n'
+        f'<huongdan id="span-{note}">Bổ sung</huongdan>\n'
+        "</div>\n"
+        f'<div class="{tt}">giải thích {w(13, 16)}</div>\n'
+        f'<div class="{lq}">Click vào để xem nội dung</div>\n'
+        f'<div id="{note}">bổ sung {w(16, 19)}|~|Điểm a Khoản {doc_num % 9}</div>\n'
+        "</body></html>"
+    )
+
+
+def expected_page_paragraphs(url: str) -> list[str]:
+    """Sequential oracle for the HTML extract path: the paragraphs the
+    reference flow produces for page_html(url), computed straight from
+    the generator's fragments — the parser+joins+merge must invert the
+    generator to match this (no HTML parsing here)."""
+    _, _, doc_num = parse_url_parts(url)
+    words = page_words(url)
+
+    def w(a: int, b: int) -> str:
+        return " ".join(words[a:b])
+
+    tooltip = f"giải thích {w(13, 16)}".strip()
+    main = f"bổ sung {w(16, 19)}".strip()
+    return [
+        f"Căn cứ {w(0, 4)};",
+        " ".join(f"Điều 1. {w(4, 7)} chỉnh".split()),
+        f"{w(7, 10)} văn bản liên quan [{tooltip}] hết câu.".strip(),
+        f"{w(10, 13)} chú giải và liên kết kép [{tooltip}].".strip(),
+        f"{main} [Điểm a Khoản {doc_num % 9}]",
+    ]
