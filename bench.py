@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "docs_simhash_hamming",
     "docs_postprocess",
     "html_extract_docs",
+    "table_header_tiers",
+    "table_annex_title",
+    "table_chunks",
+    "media_ocr_route",
     "docs_paragraph_merge",
     "docs_paragraph_merge_exact",
     "emb_knn_bruteforce",

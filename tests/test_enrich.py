@@ -64,3 +64,62 @@ def test_chunk_table_rows_header_reemitted(spark):
         assert len(headers) == 1 and headers[0].payload == "row0"
     assert sum(1 for r in out if not r.is_header) == 65
     assert len(by_chunk[0]) == 31 and len(by_chunk[1]) == 31 and len(by_chunk[2]) == 6
+
+
+def test_detect_header_row_tiers(spark):
+    from thuvienphapluat_crawler_spark.operators.enrich import detect_header_row
+
+    rows = [
+        # doc t1: STT in row 3 (tier 1 beats tier 2's row-1 density)
+        ("t1", 0, ["title", None, None, None]),
+        ("t1", 1, ["a", "b", "c", None]),
+        ("t1", 2, ["x", None, None, None]),
+        ("t1", 3, ["stt ", "Mã", "Tên", None]),
+        # doc t2: no STT, row 2 has 3 non-empty (tier 2)
+        ("t2", 0, ["only", None, None, None]),
+        ("t2", 1, ["x", "", None, None]),
+        ("t2", 2, ["a", "b", "c", None]),
+        # doc t3: no STT, rows 1-2 sparse; dense row 4 (tier 3)
+        ("t3", 0, ["t", None, None, None]),
+        ("t3", 1, ["x", None, None, None]),
+        ("t3", 2, [None, None, None, None]),
+        ("t3", 3, ["a", "b", None, None]),
+        ("t3", 4, ["aa", "bb", "cc", None]),
+        # doc t4: nothing detectable → NULL
+        ("t4", 0, ["x", None, None, None]),
+        ("t4", 1, ["y", None, None, None]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, row_idx int, cells array<string>")
+    got = {r.doc_id: r.header_idx for r in detect_header_row(df).collect()}
+    assert got == {"t1": 3, "t2": 2, "t3": 4, "t4": None}
+
+
+def test_annex_title_gate(spark):
+    from thuvienphapluat_crawler_spark.operators.enrich import annex_title
+
+    rows = [
+        ("long", 0, ["PHỤ LỤC I", None, None]),
+        ("long", 1, ["danh mục  thủ tục hành chính mới", "ban hành", None]),
+        ("short", 0, ["ngắn", None, None]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, row_idx int, cells array<string>")
+    got = {r.doc_id: r.annex_title for r in annex_title(df).collect()}
+    assert got["long"] == "PHỤ LỤC I danh mục thủ tục hành chính mới ban hành"
+    assert got["short"] is None
+
+
+def test_drop_repeated_headers(spark):
+    from thuvienphapluat_crawler_spark.operators.enrich import (
+        detect_header_row,
+        drop_repeated_headers,
+    )
+
+    rows = [
+        ("d", 0, ["STT", "Tên", "Ghi chú"]),
+        ("d", 1, ["1", "a", "x"]),
+        ("d", 2, ["STT", "Tên", "Ghi chú"]),   # page-boundary repeat → dropped
+        ("d", 3, ["2", "b", "y"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, row_idx int, cells array<string>")
+    kept = drop_repeated_headers(df, detect_header_row(df))
+    assert sorted(r.row_idx for r in kept.collect()) == [0, 1, 3]

@@ -59,3 +59,43 @@ def test_frame_sampling_shape(spark, media):
 def test_real_decoder_path_is_marked():
     with pytest.raises(NotImplementedError):
         decode_stub(b"FAKExyz", real_decoders=True)
+
+
+def test_url_encode_segment_matches_python_quote(spark):
+    from urllib.parse import quote
+
+    from pyspark.sql import functions as F
+    from thuvienphapluat_crawler_spark.operators.spans import MEDIA_SLUGS, url_encode_segment
+
+    vals = [f"{s} {i}" for i, s in enumerate(MEDIA_SLUGS)] + ["a b đường 12.pdf"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r.s: r.e for r in df.select("s", url_encode_segment(F.col("s")).alias("e")).collect()}
+    for v in vals:
+        # the reference quotes whole keys with safe='/' (upload_pdf_to_s3.py:79);
+        # url_encode_segment encodes one path SEGMENT, i.e. quote(seg, safe='')
+        assert got[v] == quote(v, safe=""), f"encode mismatch for {v!r}"
+
+
+def test_route_media_sentinels_are_rows(spark):
+    from thuvienphapluat_crawler_spark.multimodal import (
+        media_from_documents,
+        route_media,
+        synth_media,
+    )
+
+    media = synth_media(spark, media_from_documents(spark, "/root/testdata/sf0.01"))
+    routed = route_media(media).collect()
+    by_route = {}
+    for r in routed:
+        by_route.setdefault(r.route, []).append(r)
+    # all three tiers exercised
+    assert set(by_route) == {"text_layer", "table_plumber", "vlm_ocr"}
+    vlm = by_route["vlm_ocr"]
+    errors = [r for r in vlm if r.status == "error"]
+    # error sentinels are ROWS (never exceptions), with exhausted retries
+    assert errors and all(r.attempts == 3 and r.out_text.startswith("[OCR ERROR") for r in errors)
+    # VLM requests carry an unchunked base64 payload of the full blob
+    ok = [r for r in vlm if r.status == "ok"]
+    assert ok and all(r.payload_b64_len == 5464 for r in ok)
+    # non-VLM tiers never build a payload
+    assert all(r.payload_b64_len is None for r in by_route["text_layer"] + by_route["table_plumber"])

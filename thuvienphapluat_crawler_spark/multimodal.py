@@ -139,3 +139,54 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.pmod(F.col("offset"), F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
     )
+
+
+def route_media(media: DataFrame) -> DataFrame:
+    """OCR tier routing + retry/sentinel semantics (SURVEY §4 'tiered
+    strategy selection'): a when/otherwise routing column picks
+
+      text_layer    — page has an extractable text layer → cheap tier
+                      (test_ocr_quality.py:38-44, the no-OCR baseline)
+      table_plumber — bordered table detected (page has ruling lines) →
+                      pdfplumber tier (extract_tables.py:68-74)
+      vlm_ocr       — borderless/no text layer → remote VLM with 3
+                      bounded retries and an error SENTINEL row, never
+                      an exception (ocr_pdf.py:48-74); the request
+                      payload is base64(content) (ocr_pdf.py:50)
+
+    Routing signals derive from the item identity hash (the synthetic
+    stand-ins for 'page.get_text() != \"\"' and 'len(page.lines) > 0');
+    the base64 payload is computed JVM-side over the real binary column
+    and only its length/head leave the scan stage."""
+    md = F.md5(F.concat(F.col("doc_id"), F.lit("|"), F.col("media_ref")))
+    has_text = F.conv(F.substring(md, 5, 2), 16, 10).cast("int") % 4 == 0
+    n_lines = F.conv(F.substring(md, 7, 2), 16, 10).cast("int") % 3
+    route = (
+        F.when(has_text, "text_layer")
+        .when(n_lines > 0, "table_plumber")
+        .otherwise("vlm_ocr")
+    )
+    h0 = F.conv(F.substring(md, 1, 1), 16, 10).cast("int")
+    is_vlm = ~has_text & (n_lines == 0)
+    status = F.when(is_vlm & (h0 == 0), "error").otherwise("ok")
+    attempts = (
+        F.when(~is_vlm, 1).when(h0 == 0, 3).when(h0.isin(1, 2), 2).otherwise(1)
+    )
+    # Spark's base64 is MIME-chunked (CRLF every 76 chars); the VLM
+    # payload (and the oracle's to_base64) is the unchunked form
+    b64 = F.regexp_replace(F.base64(F.col("content")), "[\\r\\n]", "")
+    return media.select(
+        "doc_id",
+        "media_ref",
+        "kind",
+        route.alias("route"),
+        status.alias("status"),
+        attempts.cast("int").alias("attempts"),
+        F.when(is_vlm, F.length(b64)).cast("bigint").alias("payload_b64_len"),
+        F.when(is_vlm, F.substring(b64, 1, 16)).alias("payload_b64_head"),
+        F.when(is_vlm & (h0 == 0), F.lit("[OCR ERROR: max retries]"))
+        .when(is_vlm, F.lit("vlm-ocr text"))
+        .when(has_text, F.lit("text-layer text"))
+        .otherwise(F.lit("| bordered | table |"))
+        .alias("out_text"),
+    )

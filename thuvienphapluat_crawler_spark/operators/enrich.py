@@ -94,3 +94,119 @@ def chunk_table_rows(
         )
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table machinery over (doc_id, row_idx, cells:array<string>) rows —
+# W4 tiered header detection, A7 length-gated annex titles, J6
+# repeated-header dedup (reference: format_xls.py:24-80,
+# format_doc.py:110-129, format_ocr_image_2.py:151-153).
+# ---------------------------------------------------------------------------
+
+
+def _nonnull_cells(cells_col):
+    return F.filter(F.col(cells_col), lambda c: c.isNotNull())
+
+
+def detect_header_row(
+    rows: DataFrame,
+    doc_col: str = "doc_id",
+    idx_col: str = "row_idx",
+    cells_col: str = "cells",
+    scan_rows: int = 20,
+    markers: tuple[str, ...] = ("STT",),
+) -> DataFrame:
+    """3-tier header detection (format_xls.py:40-80; the format_doc.py
+    variant scans for STT/MÃ via `markers`):
+
+      tier 1: first row within scan_rows where any cell CONTAINS a marker
+      tier 2: row 1 or 2 if it has ≥3 non-empty cells
+      tier 3: first row within scan_rows with ≥3 cells longer than 1 char
+
+    Returns (doc_col, header_idx) with NULL when every tier misses —
+    one aggregation pass, no per-row Python."""
+    nn = _nonnull_cells(cells_col)
+    marker_hit = F.exists(
+        nn,
+        lambda c: F.aggregate(
+            F.array(*[F.lit(m) for m in markers]),
+            F.lit(False),
+            lambda acc, m: acc | F.upper(F.trim(c)).contains(m),
+        ),
+    )
+    n_nonempty = F.size(F.filter(nn, lambda c: F.trim(c) != ""))
+    n_dense = F.size(F.filter(nn, lambda c: F.length(F.trim(c)) > 1))
+    idx = F.col(idx_col)
+    per = rows.select(
+        F.col(doc_col),
+        idx.alias("_i"),
+        (marker_hit & (idx < scan_rows)).alias("_t1"),
+        (idx.isin(1, 2) & (n_nonempty >= 3)).alias("_t2"),
+        ((n_dense >= 3) & (idx < scan_rows)).alias("_t3"),
+    )
+    return per.groupBy(doc_col).agg(
+        F.coalesce(
+            F.min(F.when(F.col("_t1"), F.col("_i"))),
+            F.min(F.when(F.col("_t2"), F.col("_i"))),
+            F.min(F.when(F.col("_t3"), F.col("_i"))),
+        ).alias("header_idx")
+    )
+
+
+def annex_title(
+    rows: DataFrame,
+    doc_col: str = "doc_id",
+    idx_col: str = "row_idx",
+    cells_col: str = "cells",
+    max_rows: int = 6,
+    min_len: int = 20,
+) -> DataFrame:
+    """Length-gated annex-title extraction (format_xls.py:24-37 with
+    max_rows=6/min_len=20; format_doc.py:122-129 with limit=12/min_len=40):
+    join the non-null cells of the first max_rows rows, collapse
+    whitespace, emit only when longer than min_len (else NULL)."""
+    rowtext = F.array_join(F.transform(_nonnull_cells(cells_col), F.trim), " ")
+    per = rows.filter(F.col(idx_col) < max_rows).select(
+        F.col(doc_col), F.col(idx_col).alias("_i"), rowtext.alias("_t")
+    ).filter(F.col("_t") != "")
+    joined = per.groupBy(doc_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_i", "_t"))), lambda s: s["_t"]
+            ),
+        ).alias("_title")
+    )
+    collapsed = F.trim(F.regexp_replace("_title", r"\s+", " "))
+    return joined.select(
+        doc_col,
+        F.when(F.length(collapsed) > min_len, collapsed).alias("annex_title"),
+    )
+
+
+def drop_repeated_headers(
+    rows: DataFrame,
+    headers: DataFrame,
+    doc_col: str = "doc_id",
+    idx_col: str = "row_idx",
+    cells_col: str = "cells",
+) -> DataFrame:
+    """J6: drop body rows identical to the remembered header (the
+    cross-page header repetition, format_ocr_image_2.py:151-153).
+    `headers` is detect_header_row's output; the header row itself is
+    kept (it anchors downstream chunking). Broadcast join on doc —
+    header cells never shuffle with the body."""
+    hdr_cells = (
+        rows.join(headers, doc_col)
+        .filter(F.col(idx_col) == F.col("header_idx"))
+        .select(F.col(doc_col), F.col(cells_col).alias("_hdr"), F.col("header_idx"))
+    )
+    joined = rows.join(F.broadcast(hdr_cells), doc_col, "left")
+    return (
+        joined.filter(
+            F.col("_hdr").isNull()
+            | (F.col(idx_col) <= F.col("header_idx"))
+            | (F.col(cells_col) != F.col("_hdr"))
+        )
+        .drop("_hdr", "header_idx")
+    )

@@ -25,6 +25,19 @@ WORDS_PER_SPAN = 12
 MEDIA_EVERY = 4
 MEDIA_URL_PREFIX = "https://tvpl-media.s3.ap-southeast-1.amazonaws.com"
 
+# Vietnamese document-type slugs for the media key's path segment — the
+# part of the S3 key that actually needs quoting (the reference quotes
+# its keys: upload_pdf_to_s3.py:79 `quote(s3_key, safe='/')`).
+MEDIA_SLUGS = ["Luật", "Nghị định", "Thông tư", "Quyết định", "Nghị quyết"]
+
+
+def url_encode_segment(col: F.Column) -> F.Column:
+    """Percent-encode one S3 path segment exactly like Python's
+    quote(..., safe='/') on segment text (upload_pdf_to_s3.py:79):
+    Spark's url_encode is form-encoding (space→'+'), so '+' is mapped
+    back to '%20'. Identical for any text without literal '+'/'*'/'~'."""
+    return F.replace(F.url_encode(col), F.lit("+"), F.lit("%20"))
+
 SPAN_TYPE = T.ArrayType(
     T.StructType(
         [
@@ -73,7 +86,16 @@ def explode_to_spans(docs: DataFrame, doc_col: str = "doc_id", text_col: str = "
             F.lit("").alias("text"),
             F.concat(
                 F.lit(MEDIA_URL_PREFIX + "/"),
-                F.col("doc_id").cast("string"),
+                url_encode_segment(
+                    F.concat(
+                        F.element_at(
+                            F.array(*[F.lit(s) for s in MEDIA_SLUGS]),
+                            (F.col("doc_id") % 5 + 1).cast("int"),
+                        ),
+                        F.lit(" "),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
                 F.lit("/page_"),
                 F.col("_j").cast("string"),
                 F.lit(".pdf"),

@@ -532,9 +532,29 @@ def seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# media_ref path segment = quote('<slug> <doc_id>') (upload_pdf_to_s3.py:79);
+# DuckDB has no url_encode, so the oracle uses golden encodings computed
+# with Python's quote — the independence under test is Spark's url_encode
+# (+'+'→'%20') vs quote, checked per-slug in tests/test_multimodal.py too.
+from urllib.parse import quote as _urlquote  # noqa: E402
+
+from .operators.spans import MEDIA_SLUGS as _MEDIA_SLUGS  # noqa: E402
+
+_SLUG_CASE_SQL = (
+    "CASE doc_id % 5 "
+    + " ".join(f"WHEN {i} THEN '{_urlquote(s)}'" for i, s in enumerate(_MEDIA_SLUGS))
+    + " END"
+)
+_MEDIA_REF_SQL = (
+    "'https://tvpl-media.s3.ap-southeast-1.amazonaws.com/' || "
+    + _SLUG_CASE_SQL
+    + " || '%20' || CAST(doc_id AS VARCHAR) || '/page_' || CAST(j AS VARCHAR) || '.pdf'"
+)
+
+
 @register(
     "spans_build",
-    """
+    f"""
     WITH base AS (
       SELECT doc_id, string_split(text, ' ') AS ws,
              CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INT) AS nt
@@ -552,8 +572,7 @@ def seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(generate_series(1, nt // 4)) AS j FROM base WHERE nt >= 4),
     media_spans AS (
       SELECT doc_id, CAST(j * 5 - 1 AS INT) AS "offset", 'media' AS kind, '' AS text,
-             'https://tvpl-media.s3.ap-southeast-1.amazonaws.com/' || CAST(doc_id AS VARCHAR)
-               || '/page_' || CAST(j AS VARCHAR) || '.pdf' AS media_ref
+             {_MEDIA_REF_SQL} AS media_ref
       FROM m)
     SELECT * FROM text_spans UNION ALL SELECT * FROM media_spans
     ORDER BY doc_id, "offset"
@@ -1303,6 +1322,173 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "para_offset")
 
 
+# --- table machinery: W4 header tiers, A7 annex title, J6 header dedup -----
+#
+# Synthetic table world (mirrored exactly in SQL): each document becomes a
+# sheet of n = 12 + id%9 rows with 4-cell rows; the true header position is
+#   h = 3 for id%8==0   (no STT, sparse rows 1-2 → tier 3 density)
+#       2 for id%4==0   (no STT, 3 dense cells at row 2 → tier 2)
+#       2 + id%3 else   ('STT'-marked header → tier 1)
+# and the header row repeats every 7 body rows (the cross-page repetition
+# J6 must drop). The oracles compute expected values in CLOSED FORM from
+# (id, n, h) — the engine has to detect/dedup/chunk its way to the same
+# numbers.
+
+_TABLE_BASE_SQL = """SELECT doc_id, text, 12 + doc_id % 9 AS n,
+       CASE WHEN doc_id % 8 = 0 THEN 3 WHEN doc_id % 4 = 0 THEN 2
+            ELSE 2 + doc_id % 3 END AS h
+    FROM documents"""
+
+_TABLE_ROWS_SQL = f"""
+    SELECT doc_id, n, h, CAST(row_idx AS INT) AS row_idx,
+      CASE
+        WHEN row_idx = 0 THEN ['PHỤ LỤC ' || CAST(doc_id % 5 + 1 AS VARCHAR), NULL, NULL, NULL]
+        WHEN row_idx = 1 THEN [substr(text, 1, 10 + CAST(doc_id % 30 AS INT)), NULL, NULL, NULL]
+        WHEN row_idx < h THEN [substr(text, 26, 10), NULL, NULL, NULL]
+        WHEN (row_idx - h) % 7 = 0 THEN
+          CASE WHEN doc_id % 4 != 0 THEN ['STT', 'MÃ SỐ', 'Tên thủ tục', 'Ghi chú']
+               ELSE ['cột a', 'cột b', 'cột c', NULL] END
+        ELSE ['r' || CAST(row_idx - h AS VARCHAR),
+              'M' || CAST(doc_id AS VARCHAR) || '.' || CAST(row_idx AS VARCHAR),
+              substr(text, (row_idx * 3) % 40 + 1, 12), 'ok']
+      END AS cells
+    FROM (SELECT doc_id, text, n, h, unnest(generate_series(0, n - 1)) AS row_idx
+          FROM ({_TABLE_BASE_SQL}))
+"""
+
+
+def _table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        "text",
+        (F.lit(12) + F.col("doc_id") % 9).alias("n"),
+        F.when(F.col("doc_id") % 8 == 0, 3)
+        .when(F.col("doc_id") % 4 == 0, 2)
+        .otherwise(2 + F.col("doc_id") % 3)
+        .alias("h"),
+    )
+    rows = base.select(
+        "doc_id", "n", "h", "text",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("_ri"),
+    ).select("doc_id", "n", "h", "text", F.col("_ri").cast("int").alias("row_idx"))
+    null_s = F.lit(None).cast("string")
+    idx, h = F.col("row_idx"), F.col("h")
+    stt_header = F.array(F.lit("STT"), F.lit("MÃ SỐ"), F.lit("Tên thủ tục"), F.lit("Ghi chú"))
+    plain_header = F.array(F.lit("cột a"), F.lit("cột b"), F.lit("cột c"), null_s)
+    cells = (
+        F.when(idx == 0, F.array(F.concat(F.lit("PHỤ LỤC "), (F.col("doc_id") % 5 + 1).cast("string")), null_s, null_s, null_s))
+        .when(idx == 1, F.array(F.expr("substr(text, 1, 10 + CAST(doc_id % 30 AS INT))"), null_s, null_s, null_s))
+        .when(idx < h, F.array(F.substring("text", 26, 10), null_s, null_s, null_s))
+        .when((idx - h) % 7 == 0, F.when(F.col("doc_id") % 4 != 0, stt_header).otherwise(plain_header))
+        .otherwise(
+            F.array(
+                F.concat(F.lit("r"), (idx - h).cast("string")),
+                F.concat(F.lit("M"), F.col("doc_id").cast("string"), F.lit("."), idx.cast("string")),
+                F.expr("substr(text, (row_idx * 3) % 40 + 1, 12)"),
+                F.lit("ok"),
+            )
+        )
+    )
+    return rows.select("doc_id", "n", "h", "row_idx", cells.alias("cells"))
+
+
+@register(
+    "table_header_tiers",
+    f"""
+    SELECT doc_id, CAST(h AS BIGINT) AS header_idx FROM ({_TABLE_BASE_SQL})
+    ORDER BY doc_id
+    """,
+)
+def table_header_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 3-tier header detection (format_xls.py:40-80): the engine must
+    DETECT the planted header position through the STT/density/fixed
+    tiers; the oracle states the planted position in closed form."""
+    from .operators.enrich import detect_header_row
+
+    rows = _table_rows(spark, sf_dir)
+    return (
+        detect_header_row(rows)
+        .select("doc_id", F.col("header_idx").cast("bigint").alias("header_idx"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "table_annex_title",
+    f"""
+    WITH t AS ({_TABLE_BASE_SQL}),
+    built AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               'PHỤ LỤC ' || CAST(doc_id % 5 + 1 AS VARCHAR) || ' ' ||
+               trim(substr(text, 1, 10 + CAST(doc_id % 30 AS INT))), '\\s+', ' ', 'g')) AS title
+      FROM t)
+    SELECT doc_id, CASE WHEN length(title) > 40 THEN title END AS annex_title
+    FROM built ORDER BY doc_id
+    """,
+)
+def table_annex_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 length-gated annex title (format_doc.py:122-129 variant:
+    min_len=40 — the gate actually fires, ~2/3 of docs emit NULL)."""
+    from .operators.enrich import annex_title
+
+    rows = _table_rows(spark, sf_dir)
+    return annex_title(rows, max_rows=2, min_len=40).orderBy("doc_id")
+
+
+@register(
+    "table_chunks",
+    f"""
+    WITH t AS ({_TABLE_BASE_SQL}),
+    calc AS (
+      SELECT doc_id,
+             (n - 1 - h) - ((n - 1 - h) // 7) AS kept,     -- body minus repeats
+             (n - 1 - h) // 7 AS dropped
+      FROM t)
+    SELECT doc_id,
+           CAST(dropped AS BIGINT) AS n_dropped,
+           CAST(ceil(kept / 5.0) AS BIGINT) AS n_chunks,
+           CAST(kept + ceil(kept / 5.0) AS BIGINT) AS n_rows
+    FROM calc ORDER BY doc_id
+    """,
+)
+def table_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 + A6 end-to-end: detect the header, DROP repeated header rows
+    (format_ocr_image_2.py:151-153), then 5-row chunking with header
+    re-emission (format_xls.py:221-240). The oracle computes the
+    expected drop/chunk/row counts arithmetically from the planted
+    layout."""
+    from .operators.enrich import chunk_table_rows, detect_header_row, drop_repeated_headers
+
+    rows = _table_rows(spark, sf_dir).select("doc_id", "row_idx", "cells")
+    hdr = detect_header_row(rows)
+    dedup = drop_repeated_headers(rows, hdr)
+    n_dropped = (
+        rows.groupBy("doc_id").agg(F.count("*").alias("_all"))
+        .join(dedup.groupBy("doc_id").agg(F.count("*").alias("_kept")), "doc_id")
+        .select("doc_id", (F.col("_all") - F.col("_kept")).alias("n_dropped"))
+    )
+    post = dedup.join(F.broadcast(hdr), "doc_id").filter(F.col("row_idx") >= F.col("header_idx")).drop("header_idx")
+    chunks = chunk_table_rows(post, ["doc_id"], order_col="row_idx", chunk_rows=5)
+    stats = chunks.groupBy("doc_id").agg(
+        F.countDistinct("chunk_id").alias("n_chunks"),
+        F.count("*").alias("n_rows"),
+    )
+    # n_rows excludes the per-chunk re-emitted header's own source row:
+    # chunk output = kept body + one header per chunk
+    return (
+        n_dropped.join(stats, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_dropped").cast("bigint").alias("n_dropped"),
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- docs_postprocess: the full 14-step doc_name-parameterized regex fold ---
 
 _VUP_SQL = "A-ZĐÀÁẢÃẠĂẮẰẲẴẶÂẤẦẨẪẬÈÉẺẼẸÊẾỀỂỄỆÌÍỈĨỊÒÓỎÕỌÔỐỒỔỖỘƠỚỜỞỠỢÙÚỦŨỤƯỨỪỬỮỰỲÝỶỸỴ"
@@ -1543,10 +1729,9 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_stats_stream(spark, sf_dir)
 
 
-_MEDIA_ITEMS_SQL = """
+_MEDIA_ITEMS_SQL = f"""
       SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-             'https://tvpl-media.s3.ap-southeast-1.amazonaws.com/' || CAST(doc_id AS VARCHAR)
-               || '/page_' || CAST(j AS VARCHAR) || '.pdf' AS media_ref,
+             {_MEDIA_REF_SQL} AS media_ref,
              CASE (j * 5 - 1) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
       FROM (
         SELECT doc_id, unnest(generate_series(1, nt // 4)) AS j
@@ -1608,6 +1793,55 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "media_ref")
     )
+
+
+@register(
+    "media_ocr_route",
+    f"""
+    WITH items AS ({_MEDIA_ITEMS_SQL}),
+    sig AS (
+      SELECT doc_id, media_ref, kind, md5(doc_id || '|' || media_ref) AS sh FROM items),
+    routed AS (
+      SELECT doc_id, media_ref, kind, sh,
+             CAST(('0x' || substr(sh, 5, 2)) AS INT) % 4 = 0 AS has_text,
+             CAST(('0x' || substr(sh, 7, 2)) AS INT) % 3 AS n_lines,
+             CAST(('0x' || substr(sh, 1, 1)) AS INT) AS h0
+      FROM sig),
+    final AS (
+      SELECT doc_id, media_ref, kind,
+             CASE WHEN has_text THEN 'text_layer'
+                  WHEN n_lines > 0 THEN 'table_plumber'
+                  ELSE 'vlm_ocr' END AS route,
+             CASE WHEN NOT has_text AND n_lines = 0 AND h0 = 0 THEN 'error' ELSE 'ok' END AS status,
+             CAST(CASE WHEN has_text OR n_lines > 0 THEN 1
+                  WHEN h0 = 0 THEN 3 WHEN h0 IN (1, 2) THEN 2 ELSE 1 END AS INT) AS attempts,
+             CASE WHEN NOT has_text AND n_lines = 0 THEN
+               to_base64(from_hex(
+                 '46414b45' || substr(sh, 1, 2) || substr(sh, 3, 2) ||
+                 CASE kind WHEN 'image' THEN '69' WHEN 'audio' THEN '61' ELSE '76' END ||
+                 substr(repeat(sh, 256), 1, (4096 - 7) * 2)))
+             END AS b64
+      FROM routed)
+    SELECT doc_id, media_ref, kind, route, status, attempts,
+           CAST(length(b64) AS BIGINT) AS payload_b64_len,
+           substr(b64, 1, 16) AS payload_b64_head,
+           CASE WHEN status = 'error' THEN '[OCR ERROR: max retries]'
+                WHEN route = 'vlm_ocr' THEN 'vlm-ocr text'
+                WHEN route = 'text_layer' THEN 'text-layer text'
+                ELSE '| bordered | table |' END AS out_text
+    FROM final ORDER BY doc_id, media_ref
+    """,
+)
+def media_ocr_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR tier routing over real media blobs (SURVEY §4 tier selection;
+    extract_tables.py:68-74 borderless auto-detect, ocr_pdf.py:48-74
+    retry/sentinel, ocr_pdf.py:50 base64 payload). The oracle replays
+    the routing CASEs and reconstructs the blob hex-wise to verify the
+    base64 payload byte-for-byte."""
+    from .multimodal import media_from_documents, route_media, synth_media
+
+    media = synth_media(spark, media_from_documents(spark, sf_dir))
+    return route_media(media).orderBy("doc_id", "media_ref")
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
