@@ -73,3 +73,62 @@ def test_non_byte_aligned_capacity_roundtrip(tmp_path):
     g = BloomFilter(n_bits=10010)
     g.add(keys)
     assert g.n_bits == f.n_bits and g.contains(keys).all()
+
+
+# --- cuckoo fallback: same contract through the same interface -------------
+
+import pytest
+
+from thuvienphapluat_crawler_spark.operators.bloom import CuckooFilter, make_filter
+
+
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_filter_contract(kind):
+    f = make_filter(kind, 10_000)
+    keys = (np.arange(10_000, dtype=np.int64) * 2_654_435_761) ^ 0x5DEECE66D
+    f.add(keys)
+    assert f.contains(keys).all(), "no false negatives"
+    rng = np.random.RandomState(1)
+    fresh = np.setdiff1d(rng.randint(-(2**62), 2**62, size=50_000).astype(np.int64), keys)
+    assert f.contains(fresh).mean() < 0.05
+
+
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_filter_persistence_roundtrip(tmp_path, kind):
+    root = str(tmp_path)
+    k0 = np.array([11, 22, 33], dtype=np.int64)
+    k5 = np.array([77, 88], dtype=np.int64)
+    update_bucket(root, 1, epoch=0, keys=k0, kind=kind)
+    update_bucket(root, 1, epoch=2, keys=k5, kind=kind)
+    f = load_bucket(root, 1, 2)
+    assert isinstance(f, CuckooFilter) == (kind == "cuckoo")
+    assert f.contains(np.concatenate([k0, k5])).all()
+    assert probe_bucket(root, 1, 1, k0).all() and not probe_bucket(root, 1, 1, k5).any()
+
+
+def test_cuckoo_supports_deletion():
+    f = CuckooFilter.for_capacity(1000)
+    keys = np.arange(1, 800, dtype=np.int64) * 7919
+    f.add(keys)
+    gone = keys[::2]
+    assert f.delete(gone).all()
+    assert f.contains(keys[1::2]).all(), "undeleted keys must remain"
+    assert f.contains(gone).mean() < 0.05, "deleted keys should probe absent"
+
+
+def test_engine_seen_set_identical_with_cuckoo(spark, tmp_path):
+    from thuvienphapluat_crawler_spark.plans.frontier import CrawlEngine
+    from thuvienphapluat_crawler_spark.sources.synthetic_web import World
+
+    world = World(n_hosts=2, base_size=24, links_per_page=3, budget_per_host=5, max_epochs=2)
+    results = {}
+    for kind in ("bloom", "cuckoo"):
+        eng = CrawlEngine(spark, world, str(tmp_path / kind), n_buckets=4, filter_kind=kind)
+        eng.run()
+        results[kind] = {
+            "seen": sorted(r.canonical_url for r in eng.seen().collect()),
+            "log": sorted(
+                (r.epoch, r.host, r.rank, r.canonical_url) for r in eng.crawl_log().collect()
+            ),
+        }
+    assert results["bloom"] == results["cuckoo"]

@@ -79,12 +79,14 @@ class CrawlEngine:
         root: str,
         n_buckets: int = 8,
         seeds_per_host: int = 2,
+        filter_kind: str = "bloom",
     ):
         self.spark = spark
         self.world = world
         self.wh = SnapshotWarehouse(root)
         self.n_buckets = n_buckets
         self.seeds_per_host = seeds_per_host
+        self.filter_kind = filter_kind  # 'bloom' | 'cuckoo' (same interface)
 
     # -- frontier-row construction (shared by seeds and discovered links) --
 
@@ -103,16 +105,18 @@ class CrawlEngine:
         )
 
     def bootstrap(self) -> None:
-        """Epoch 0: seeds → frontier + seen + bloom, one atomic commit."""
+        """Epoch 0: seeds → frontier + bloom, one atomic commit. (The
+        seen set IS the frontier projected to its identity columns —
+        frontier rows are inserted exactly once — so no separate seen
+        table is written; see seen().)"""
         if self.wh.last_epoch() >= 0:
             return
         seeds = SW.seed_urls(self.world, self.seeds_per_host)
         raw = self.spark.createDataFrame([(u,) for u in seeds], "canonical_url string")
         fr = self._frontier_cols(raw.withColumn("depth", F.lit(0)), "depth", 0)
         self.wh.stage("frontier", 0, fr.repartition(self.n_buckets, "host_bucket"))
-        self.wh.stage("seen", 0, fr.select("url_fp", "url_hash", "canonical_url", "host_bucket"))
         self._bloom_update(fr, epoch=0)
-        self.wh.commit_epoch(0, ["frontier", "seen"], lineage={"seeds": len(seeds)})
+        self.wh.commit_epoch(0, ["frontier"], lineage={"seeds": len(seeds)})
 
     # -- pandas-UDF stages ------------------------------------------------
 
@@ -177,11 +181,11 @@ class CrawlEngine:
         """Distributed bloom update: one applyInPandas task per bucket
         writes its own .npy (atomic rename); buckets with no new keys
         keep their previous file (walk-back read)."""
-        root = self.wh.root
+        root, kind = self.wh.root, self.filter_kind
 
         def upd(pdf: pd.DataFrame) -> pd.DataFrame:
             b = int(pdf["host_bucket"].iloc[0])
-            B.update_bucket(root, b, epoch, pdf["url_hash"].to_numpy(dtype=np.int64))
+            B.update_bucket(root, b, epoch, pdf["url_hash"].to_numpy(dtype=np.int64), kind=kind)
             return pd.DataFrame({"host_bucket": [b], "n": [len(pdf)]})
 
         counts = (
@@ -236,11 +240,10 @@ class CrawlEngine:
         probed = cands.mapInPandas(self._bloom_probe_fn(epoch - 1), FRONTIER_SCHEMA + ", maybe_seen boolean")
         probed = probed.localCheckpoint()
         fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        seen = wh.read(self.spark, "seen", "url_fp string, url_hash long, canonical_url string, host_bucket int")
         confirmed = (
             probed.filter(F.col("maybe_seen"))
             .drop("maybe_seen")
-            .join(seen.select("url_fp"), "url_fp", "left_anti")
+            .join(frontier.select("url_fp"), "url_fp", "left_anti")
         )
         new_rows = fresh.unionByName(confirmed).localCheckpoint()
 
@@ -257,11 +260,16 @@ class CrawlEngine:
             F.max("fetch_slot").alias("max_fetch_slot"),
             F.count("*").alias("n_ranked"),
         )
-        cstats = probed.groupBy("host_bucket").agg(F.count("*").alias("n_candidates"))
-        nstats = new_rows.groupBy("host_bucket").agg(F.count("*").alias("n_new"))
+        # candidate + new counts in ONE union-based pass (was two
+        # aggregations + an extra full_outer join)
+        cnstats = (
+            probed.select("host_bucket", F.lit(1).alias("_c"), F.lit(0).alias("_n"))
+            .unionByName(new_rows.select("host_bucket", F.lit(0).alias("_c"), F.lit(1).alias("_n")))
+            .groupBy("host_bucket")
+            .agg(F.sum("_c").alias("n_candidates"), F.sum("_n").alias("n_new"))
+        )
         checkpoints = (
-            fstats.join(cstats, "host_bucket", "full_outer")
-            .join(nstats, "host_bucket", "full_outer")
+            fstats.join(cnstats, "host_bucket", "full_outer")
             .select(
                 F.col("host_bucket").alias("partition_id"),
                 F.lit(epoch).cast("int").alias("epoch"),
@@ -280,12 +288,11 @@ class CrawlEngine:
         wh.stage("crawl_log", epoch, fetched)
         wh.stage("docs", epoch, docs)
         wh.stage("frontier", epoch, new_rows.repartition(self.n_buckets, "host_bucket"))
-        wh.stage("seen", epoch, new_rows.select("url_fp", "url_hash", "canonical_url", "host_bucket"))
         wh.stage("checkpoints", epoch, checkpoints)
         self._bloom_update(new_rows, epoch)
         wh.commit_epoch(
             epoch,
-            ["crawl_log", "docs", "frontier", "seen", "checkpoints"],
+            ["crawl_log", "docs", "frontier", "checkpoints"],
             lineage={"n_ranked": n_ranked},
         )
         return True
@@ -309,7 +316,12 @@ class CrawlEngine:
         return self.wh.read(self.spark, "crawl_log", CRAWL_LOG_SCHEMA)
 
     def seen(self) -> DataFrame:
-        return self.wh.read(self.spark, "seen", "url_fp string, url_hash long, canonical_url string, host_bucket int")
+        """The URL-seen set: the frontier projected to identity columns
+        (frontier rows are inserted exactly once, so the projection IS
+        the seen table — one fewer parquet write per epoch)."""
+        return self.wh.read(self.spark, "frontier", FRONTIER_SCHEMA).select(
+            "url_fp", "url_hash", "canonical_url", "host_bucket"
+        )
 
     def docs(self) -> DataFrame:
         return self.wh.read(self.spark, "docs", "doc_id string, canonical_url string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, epoch int")

@@ -1844,6 +1844,88 @@ def media_ocr_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_media(media).orderBy("doc_id", "media_ref")
 
 
+# --- J5: golden-comparison join across OCR model outputs -------------------
+
+_OCR_MODELS = ["qwen", "mistral", "gpt41mini"]  # sample_ocr_*.py backends
+
+_OCR_PAGES_SQL = """SELECT doc_id, unnest(generate_series(1, nt // 4)) AS page
+      FROM (SELECT doc_id, CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INT) AS nt
+            FROM documents) WHERE nt >= 4"""
+
+
+def _ocr_model_sql(m: str, idx: int) -> str:
+    key = f"md5('{m}|' || CAST(doc_id AS VARCHAR) || '|' || CAST(page AS VARCHAR))"
+    return f"""SELECT doc_id, page,
+        'ocr-{m}:' || substr({key}, 1, 8 + CAST(('0x' || substr({key}, 3, 1)) AS INT)) AS text_{m}
+        FROM pages WHERE CAST(('0x' || substr({key}, 1, 2)) AS INT) % 4 != {idx}"""
+
+
+@register(
+    "ocr_golden_compare",
+    f"""
+    WITH pages AS ({_OCR_PAGES_SQL}),
+    m0 AS ({_ocr_model_sql(_OCR_MODELS[0], 0)}),
+    m1 AS ({_ocr_model_sql(_OCR_MODELS[1], 1)}),
+    m2 AS ({_ocr_model_sql(_OCR_MODELS[2], 2)})
+    SELECT coalesce(m0.doc_id, m1.doc_id, m2.doc_id) AS doc_id,
+           coalesce(m0.page, m1.page, m2.page) AS page,
+           CAST((m0.text_qwen IS NOT NULL)::INT + (m1.text_mistral IS NOT NULL)::INT
+                + (m2.text_gpt41mini IS NOT NULL)::INT AS BIGINT) AS n_models,
+           CAST(length(m0.text_qwen) AS BIGINT) AS len_qwen,
+           CAST(length(m1.text_mistral) AS BIGINT) AS len_mistral,
+           CAST(length(m2.text_gpt41mini) AS BIGINT) AS len_gpt41mini
+    FROM m0
+    FULL OUTER JOIN m1 ON m0.doc_id = m1.doc_id AND m0.page = m1.page
+    FULL OUTER JOIN m2 ON coalesce(m0.doc_id, m1.doc_id) = m2.doc_id
+                       AND coalesce(m0.page, m1.page) = m2.page
+    ORDER BY doc_id, page
+    """,
+)
+def ocr_golden_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 golden-comparison join (SURVEY §2.3: sample_ocr_5pages.py:76 et
+    al. run the SAME page set through several OCR backends and align the
+    outputs by page): three simulated model-output tables — each missing
+    ~25% of pages, a DIFFERENT quarter per model — full_outer-joined on
+    (doc, page) with per-page presence and length diff columns."""
+    from .operators.spans import explode_to_spans
+
+    docs = load(spark, sf_dir, "documents")
+    pages = (
+        explode_to_spans(docs)
+        .filter(F.col("kind") == "media")
+        .select("doc_id", (((F.col("offset") + 1) / 5)).cast("int").alias("page"))
+    )
+
+    def model_df(m: str, idx: int) -> DataFrame:
+        key = F.md5(
+            F.concat(F.lit(m + "|"), F.col("doc_id").cast("string"), F.lit("|"), F.col("page").cast("string"))
+        )
+        present = F.conv(F.substring(key, 1, 2), 16, 10).cast("int") % 4 != idx
+        text = F.concat(
+            F.lit(f"ocr-{m}:"),
+            F.expr(
+                f"substr(md5('{m}|' || CAST(doc_id AS STRING) || '|' || CAST(page AS STRING)), 1, "
+                f"8 + CAST(conv(substr(md5('{m}|' || CAST(doc_id AS STRING) || '|' || CAST(page AS STRING)), 3, 1), 16, 10) AS INT))"
+            ),
+        )
+        return pages.filter(present).select("doc_id", "page", text.alias(f"text_{m}"))
+
+    m0, m1, m2 = (model_df(m, i) for i, m in enumerate(_OCR_MODELS))
+    joined = m0.join(m1, ["doc_id", "page"], "full_outer").join(m2, ["doc_id", "page"], "full_outer")
+    return joined.select(
+        "doc_id",
+        "page",
+        (
+            F.col("text_qwen").isNotNull().cast("int")
+            + F.col("text_mistral").isNotNull().cast("int")
+            + F.col("text_gpt41mini").isNotNull().cast("int")
+        ).cast("bigint").alias("n_models"),
+        F.length("text_qwen").cast("bigint").alias("len_qwen"),
+        F.length("text_mistral").cast("bigint").alias("len_mistral"),
+        F.length("text_gpt41mini").cast("bigint").alias("len_gpt41mini"),
+    ).orderBy("doc_id", "page")
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
