@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "docs_simhash_hamming",
     "docs_postprocess",
     "html_extract_docs",
+    "workbook_sheet_tables",
     "table_header_tiers",
     "table_annex_title",
     "table_chunks",
@@ -62,6 +63,7 @@ BENCH_QUERIES = [
     "docs_paragraph_merge_exact",
     "emb_knn_bruteforce",
     "emb_knn_lsh",
+    "emb_knn_multitable",
 ]
 
 BENCH_WORLD = dict(n_hosts=16, base_size=300, links_per_page=4, budget_per_host=25, max_epochs=4)

@@ -173,6 +173,9 @@ def ngram_jaccard_pairs(
     )
     sizes = base.select("doc_id", F.size("sh").alias("n"))
     ex = base.select("doc_id", *(["bucket"] if bucket_col else []), F.explode("sh").alias("s"))
+    # the self-join consumes ex twice and Catalyst re-runs the shingle
+    # explode per side — materialize the exploded shingles once
+    ex = ex.localCheckpoint()
     keys = (["bucket"] if bucket_col else []) + ["s"]
     l = ex.alias("l")
     r = ex.alias("r")

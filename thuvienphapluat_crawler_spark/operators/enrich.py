@@ -110,7 +110,7 @@ def _nonnull_cells(cells_col):
 
 def detect_header_row(
     rows: DataFrame,
-    doc_col: str = "doc_id",
+    doc_col: str | list[str] = "doc_id",
     idx_col: str = "row_idx",
     cells_col: str = "cells",
     scan_rows: int = 20,
@@ -137,14 +137,15 @@ def detect_header_row(
     n_nonempty = F.size(F.filter(nn, lambda c: F.trim(c) != ""))
     n_dense = F.size(F.filter(nn, lambda c: F.length(F.trim(c)) > 1))
     idx = F.col(idx_col)
+    doc_cols = [doc_col] if isinstance(doc_col, str) else list(doc_col)
     per = rows.select(
-        F.col(doc_col),
+        *[F.col(c) for c in doc_cols],
         idx.alias("_i"),
         (marker_hit & (idx < scan_rows)).alias("_t1"),
         (idx.isin(1, 2) & (n_nonempty >= 3)).alias("_t2"),
         ((n_dense >= 3) & (idx < scan_rows)).alias("_t3"),
     )
-    return per.groupBy(doc_col).agg(
+    return per.groupBy(*doc_cols).agg(
         F.coalesce(
             F.min(F.when(F.col("_t1"), F.col("_i"))),
             F.min(F.when(F.col("_t2"), F.col("_i"))),

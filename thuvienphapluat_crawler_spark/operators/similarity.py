@@ -104,3 +104,78 @@ def lsh_ann_topk(
         .filter(F.col("rnk") <= k)
         .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"), F.col("rnk").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table LSH — the production ANN shape. A single P-plane table has
+# 2^P buckets; at 10^9 vectors each bucket still holds millions AND true
+# neighbors split across bucket boundaries cost recall. L independent
+# tables with fewer planes each: a candidate is anything sharing ANY
+# table's bucket with the query — recall ≈ 1-(1-p^P)^L instead of p^P —
+# and the per-table bucket key remains the shuffle key (cost is L narrow
+# projections + L bucket equi-joins, still never O(n²)).
+# ---------------------------------------------------------------------------
+
+LSH_TABLES = 4
+LSH_PLANES_PER_TABLE = 6
+
+_rng_t = np.random.RandomState(1234)
+HYPERPLANE_TABLES: list[list[list[float]]] = [
+    [[round(float(v), 6) for v in _rng_t.randn(LSH_DIM)] for _ in range(LSH_PLANES_PER_TABLE)]
+    for _ in range(LSH_TABLES)
+]
+
+
+def lsh_table_bucket(vec: Column, table: int) -> Column:
+    sig = F.lit(0)
+    for p, plane in enumerate(HYPERPLANE_TABLES[table]):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.when(_dot(vec, plane_col) > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_multitable_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with L independent hash tables: candidate set =
+    union over tables of the query's bucket mates; exact cosine on the
+    DISTINCT candidates only. The bucket projections are narrow
+    (id + L ints); the 64-dim vectors join in once, at the end, keyed on
+    the candidate id — vectors never fan out L-fold."""
+    vecs = emb.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("ne"))
+    buckets = vecs.select(
+        "nid", *[lsh_table_bucket(F.col("ne"), t).alias(f"b{t}") for t in range(LSH_TABLES)]
+    )
+    narrow = buckets.select(
+        "nid",
+        F.explode(
+            F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b")) for t in range(LSH_TABLES)])
+        ).alias("tb"),
+    ).select("nid", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    qn = narrow.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("qid"), "t", "b"
+    )
+    cand = (
+        narrow.join(F.broadcast(qn), ["t", "b"])
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    queries = vecs.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("qid"), F.col("ne").alias("qe")
+    )
+    sims = (
+        cand.join(vecs, "nid")
+        .join(F.broadcast(queries), "qid")
+        .withColumn("sim", F.round(cosine(F.col("qe"), F.col("ne")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "nid")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"), F.col("rnk").alias("rank"))
+    )

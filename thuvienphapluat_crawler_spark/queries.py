@@ -965,6 +965,49 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
 
 
+def _lsh_multitable_oracle() -> str:
+    def bucket_expr(t: int) -> str:
+        parts = []
+        for p, plane in enumerate(S.HYPERPLANE_TABLES[t]):
+            lits = ", ".join(repr(x) for x in plane)
+            parts.append(
+                f"CASE WHEN list_inner_product(ne, [{lits}]::DOUBLE[]) > 0 THEN {2**p} ELSE 0 END"
+            )
+        return " + ".join(parts)
+
+    ids = ", ".join(map(str, _KNN_QUERY_IDS))
+    table_buckets = ", ".join(f"({bucket_expr(t)}) AS b{t}" for t in range(S.LSH_TABLES))
+    cand_unions = " UNION ".join(
+        f"""SELECT q.nid AS qid, c.nid AS nid FROM bucketed q
+            JOIN bucketed c ON q.b{t} = c.b{t} AND c.nid != q.nid
+            WHERE q.nid IN ({ids})"""
+        for t in range(S.LSH_TABLES)
+    )
+    return f"""
+    WITH c0 AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ne FROM embeddings),
+         bucketed AS (SELECT nid, ne, {table_buckets} FROM c0),
+         cand AS ({cand_unions}),
+         sims AS (SELECT cand.qid, cand.nid,
+                         round(list_inner_product(q.ne, c.ne) /
+                               (sqrt(list_inner_product(q.ne, q.ne)) * sqrt(list_inner_product(c.ne, c.ne))), 6) AS sim
+                  FROM cand JOIN c0 q ON q.nid = cand.qid JOIN c0 c ON c.nid = cand.nid)
+    SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank FROM (
+      SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM sims)
+    WHERE rnk <= 5 ORDER BY query_id, rank
+    """
+
+
+@register("emb_knn_multitable", _lsh_multitable_oracle())
+def emb_knn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN (the production index shape): L=4 independent
+    6-plane tables; candidates = union of the query's bucket mates
+    across tables (recall 1-(1-p^6)^4 instead of p^8); exact cosine on
+    distinct candidates only. Vectors never fan out L-fold — the bucket
+    projections are (id, table, bucket) narrow rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_multitable_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
+
+
 @register(
     "cube_order_stats",
     """
@@ -1489,6 +1532,72 @@ def table_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S8: multi-sheet workbook scan → per-sheet header detection -------------
+
+
+@register(
+    "workbook_sheet_tables",
+    """
+    WITH t AS (SELECT doc_id, 5 + doc_id % 4 AS n1, 1 + doc_id % 2 AS h1 FROM documents)
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'Sheet1' AS sheet_name,
+           CAST(h1 AS BIGINT) AS header_idx, CAST(n1 AS BIGINT) AS n_rows FROM t
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), 'PhuLuc', 2, 5 FROM t
+    ORDER BY doc_id, sheet_name
+    """,
+)
+def workbook_sheet_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 multi-sheet scan (format_xls.py:182-186): a serialized workbook
+    column → mapInPandas sheet scan → per-(doc, sheet) 3-tier header
+    detection with the STT/MÃ markers (format_doc.py:110-116). The
+    oracle states the planted per-sheet layout in closed form: Sheet1
+    has an STT header at row 1+id%2 (tier 1), PhuLuc has no marker and a
+    dense row 2 (tier 2)."""
+    from .operators.enrich import detect_header_row
+    from .sources.workbook import GS, RS, US, sheets_from_workbooks
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", "text",
+        (F.lit(5) + F.col("doc_id") % 4).alias("n1"),
+        (F.lit(1) + F.col("doc_id") % 2).alias("h1"),
+    )
+    sheet1_rows = F.transform(
+        F.sequence(F.lit(0), F.col("n1") - 1),
+        lambda i: F.when(i == F.col("h1"), F.lit(f"STT{US}MÃ SỐ{US}Tên thủ tục")).otherwise(
+            F.concat(
+                F.lit("r"), i.cast("string"), F.lit(US),
+                F.lit("M"), F.col("doc_id").cast("string"), F.lit("."), i.cast("string"), F.lit(US),
+                F.substring(F.col("text"), 1, 8),
+            )
+        ),
+    )
+    sheet2_rows = F.array(
+        F.concat(F.lit("PHỤ LỤC "), (F.col("doc_id") % 5).cast("string"), F.lit(US + US)),
+        F.concat(F.substring("text", 1, 12), F.lit(US + US)),
+        F.lit(f"cột a{US}cột b{US}cột c"),
+        F.lit(f"x3{US}y3{US}z3"),
+        F.lit(f"x4{US}y4{US}z4"),
+    )
+    wb = F.concat(
+        F.lit("Sheet1" + RS), F.array_join(sheet1_rows, RS),
+        F.lit(GS),
+        F.lit("PhuLuc" + RS), F.array_join(sheet2_rows, RS),
+    )
+    sheets = sheets_from_workbooks(base.select("doc_id", wb.alias("workbook")))
+    hdr = detect_header_row(sheets, doc_col=["doc_id", "sheet_name"], markers=("STT", "MÃ"))
+    nrows = sheets.groupBy("doc_id", "sheet_name").agg(F.count("*").alias("n_rows"))
+    return (
+        hdr.join(nrows, ["doc_id", "sheet_name"])
+        .select(
+            "doc_id", "sheet_name",
+            F.col("header_idx").cast("bigint").alias("header_idx"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("doc_id", "sheet_name")
+    )
+
+
 # --- docs_postprocess: the full 14-step doc_name-parameterized regex fold ---
 
 _VUP_SQL = "A-ZĐÀÁẢÃẠĂẮẰẲẴẶÂẤẦẨẪẬÈÉẺẼẸÊẾỀỂỄỆÌÍỈĨỊÒÓỎÕỌÔỐỒỔỖỘƠỚỜỞỠỢÙÚỦŨỤƯỨỪỬỮỰỲÝỶỸỴ"
@@ -1691,6 +1800,7 @@ def crawl_engine_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.synthetic_web import World
 
     root = tempfile.mkdtemp(prefix="tvpl_demo_wh_")
+    keep = tempfile.mkdtemp(prefix="tvpl_demo_out_")
     try:
         world = World(n_hosts=4, base_size=60, links_per_page=3, budget_per_host=6, max_epochs=2)
         engine = CrawlEngine(spark, world, root, n_buckets=4)
@@ -1699,8 +1809,10 @@ def crawl_engine_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = log.select(
             "epoch", "host", "rank", "canonical_url", "fetch_slot", "status", "attempts"
         ).orderBy("epoch", "host", "rank")
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from temp dir
-        return out
+        # detach from the about-to-be-deleted warehouse WITHOUT a driver
+        # collect: write the result delta, read it back (distributed path)
+        out.write.mode("overwrite").parquet(f"{keep}/crawl_log_demo")
+        return spark.read.parquet(f"{keep}/crawl_log_demo").orderBy("epoch", "host", "rank")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

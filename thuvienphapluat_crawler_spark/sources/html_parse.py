@@ -190,6 +190,11 @@ def extract_documents(parsed: DataFrame) -> DataFrame:
     keyed on doc_id, so Spark reuses one partitioning."""
     from ..operators.enrich import TOOLTIP_NOISE
 
+    # four branches (nodes/elements/tooltips/notes) consume the parse —
+    # materialize it once or Catalyst duplicates the MapInPandas subtree
+    # per branch (4× parse cost, observed in .explain). At warehouse
+    # scale this is a staged table write instead.
+    parsed = parsed.localCheckpoint()
     nodes = parsed.filter(F.col("node_kind") == "node").select(
         "doc_id", "offset", "text"
     )
