@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "docs_simhash_hamming",
     "docs_postprocess",
     "html_extract_docs",
+    "docs_full_pipeline",
     "workbook_sheet_tables",
     "table_header_tiers",
     "table_annex_title",

@@ -52,3 +52,32 @@ def test_tooltip_precedence_and_noise(spark):
     df = spark.createDataFrame([("d", html)], "doc_id string, html string")
     paras = [r.paragraph for r in extract_documents(parse_pages(df)).orderBy("para_offset").collect()]
     assert paras == ["đầu dòng kép [nội dung thật] hết.", "tiếp mờ dòng."]
+
+
+def test_crawl_engine_html_mode_matches_sequential_oracle(spark, tmp_path):
+    """The engine with content='html' runs the REAL DOM extract inside the
+    epoch loop; every fetched doc's spans must equal the generator-
+    inversion oracle, and crawl order must be identical to spans mode."""
+    from thuvienphapluat_crawler_spark.plans.frontier import CrawlEngine
+    from thuvienphapluat_crawler_spark.sources.synthetic_web import World
+
+    world = World(n_hosts=2, base_size=24, links_per_page=3, budget_per_host=5, max_epochs=2)
+    html_eng = CrawlEngine(spark, world, str(tmp_path / "html"), n_buckets=4, content="html")
+    html_eng.run()
+    span_eng = CrawlEngine(spark, world, str(tmp_path / "spans"), n_buckets=4)
+    span_eng.run()
+
+    log_of = lambda e: sorted(
+        (r.epoch, r.host, r.rank, r.canonical_url, r.status) for r in e.crawl_log().collect()
+    )
+    assert log_of(html_eng) == log_of(span_eng), "fetch scheduling must not depend on content mode"
+
+    docs = {r.canonical_url: r.spans for r in html_eng.docs().collect()}
+    oks = [r.canonical_url for r in html_eng.crawl_log().collect() if r.status == "ok"]
+    assert set(docs) == set(oks)
+    for url, spans in docs.items():
+        got = [(s.kind, s.text, s.media_ref, s.offset) for s in spans]
+        expected = [
+            ("text", p, "", i) for i, p in enumerate(SW.expected_page_paragraphs(url))
+        ]
+        assert got == expected, f"html-mode spans diverge for {url}"

@@ -80,6 +80,7 @@ class CrawlEngine:
         n_buckets: int = 8,
         seeds_per_host: int = 2,
         filter_kind: str = "bloom",
+        content: str = "spans",
     ):
         self.spark = spark
         self.world = world
@@ -87,6 +88,11 @@ class CrawlEngine:
         self.n_buckets = n_buckets
         self.seeds_per_host = seeds_per_host
         self.filter_kind = filter_kind  # 'bloom' | 'cuckoo' (same interface)
+        # 'spans': fetch emits pre-structured spans (synthetic shortcut);
+        # 'html': fetch emits RAW HTML and the extract stage is the real
+        # DOM pipeline (sources/html_parse.py — parse, tooltip/footnote
+        # joins, Điều normalization, line merge), per pipeline.py:216-322
+        self.content = content
 
     # -- frontier-row construction (shared by seeds and discovered links) --
 
@@ -150,6 +156,42 @@ class CrawlEngine:
                 for kind, text, media_ref, offset in SW.page_spans(url):
                     rows.append((doc_id, url, kind, text, media_ref, offset))
             yield pd.DataFrame(rows, columns=["doc_id", "canonical_url", "kind", "text", "media_ref", "offset"])
+
+    def _html_span_rows(self, ok: DataFrame) -> DataFrame:
+        """The real extract path: fetch raw HTML (synthetic DOM twin of
+        page_spans), run the DOM pipeline (parse → tooltip/footnote
+        joins → Điều normalization → line merge), emit paragraphs as
+        text spans. doc_id derives from the URL with column regexes —
+        same sanitization as _doc_id_for."""
+        from ..sources.html_parse import extract_documents, parse_pages
+
+        def fetch_html(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                yield pd.DataFrame(
+                    {"page_url": pdf["canonical_url"], "html": [SW.page_html(u) for u in pdf["canonical_url"]]}
+                )
+
+        pages = ok.select("canonical_url").mapInPandas(fetch_html, "page_url string, html string")
+        paras = extract_documents(parse_pages(pages, id_col="page_url"))
+        url = F.col("doc_id")  # extract keys on the page URL
+        derived = F.concat(
+            F.regexp_extract(url, r"/van-ban/([^/]+)/", 1),
+            F.lit("_doc-"),
+            F.regexp_extract(url, r"doc-(\d+)\.aspx", 1),
+            F.lit("_host"),
+            F.regexp_extract(url, r"host(\d+)\.", 1),
+        )
+        # merge emits source-line offsets; span offsets are the dense
+        # paragraph sequence (0-based), matching the sequential oracle
+        w = Window.partitionBy("doc_id").orderBy("para_offset")
+        return paras.withColumn("_pi", F.row_number().over(w) - 1).select(
+            derived.alias("doc_id"),
+            url.alias("canonical_url"),
+            F.lit("text").alias("kind"),
+            F.col("paragraph").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.col("_pi").cast("int").alias("offset"),
+        )
 
     def _outlinks_fn(self):
         world = self.world
@@ -219,7 +261,10 @@ class CrawlEngine:
             return False
 
         ok = fetched.filter(F.col("status") == "ok")
-        span_rows = ok.select("canonical_url").mapInPandas(self._parse_fn, SPAN_ROW_SCHEMA)
+        if self.content == "html":
+            span_rows = self._html_span_rows(ok)
+        else:
+            span_rows = ok.select("canonical_url").mapInPandas(self._parse_fn, SPAN_ROW_SCHEMA)
         docs = (
             span_rows.groupBy("doc_id", "canonical_url")
             .agg(F.collect_list(F.struct("kind", "text", "media_ref", "offset")).alias("_s"))

@@ -1630,16 +1630,11 @@ _PP_CONTENT_SQL = """chr(10) || chr(10) || 'CHÍNH PHỦ' || chr(10)
     || substr(text, 1, 30) || chr(10) || chr(10) || chr(10) || chr(10) || 'hết'"""
 
 
-@register(
-    "docs_postprocess",
-    rf"""
-    WITH named AS (SELECT doc_id, text, {_DOC_NAME_SQL} AS dn FROM documents),
-    raw AS (SELECT doc_id, dn, {_PP_CONTENT_SQL} AS content FROM named),
-    esc AS (SELECT doc_id, dn, content,
-            regexp_replace(dn, '([.^$|?*+()\[\]{{}}\\])', '\\\1', 'g') AS dnp,
-            replace(dn, '\', '\\') AS dnr FROM raw)
-    SELECT doc_id, dn AS doc_name,
-     regexp_replace(
+def _duck_postprocess_expr(content: str = "content") -> str:
+    """The reference's 14-step fold as a nested DuckDB expression over a
+    CTE providing `content`, `dnr` (replacement-escaped doc_name) and
+    `dnp` (regex-escaped doc_name)."""
+    return rf"""regexp_replace(
       regexp_replace(
        regexp_replace(
         regexp_replace(
@@ -1652,7 +1647,7 @@ _PP_CONTENT_SQL = """chr(10) || chr(10) || 'CHÍNH PHỦ' || chr(10)
                regexp_replace(
                 regexp_replace(
                  replace(replace(
-                  regexp_replace(content, '\n\.\n', chr(10), 'g'),
+                  regexp_replace({content}, '\n\.\n', chr(10), 'g'),
                   ' [Click vào để xem nội dung]', ''), '[Click vào để xem nội dung]', ''),
                  '\]\s+(\d+\.)\s*\n', ']' || chr(10) || '\1' || chr(10), 'g'),
                 '\]\s+(\d+\.)\s+', ']' || chr(10) || '\1 ', 'g'),
@@ -1666,7 +1661,21 @@ _PP_CONTENT_SQL = """chr(10) || chr(10) || 'CHÍNH PHỦ' || chr(10)
          '["“”]' || dnp || '\. (Điều)', '"\1', 'g'),
         '\n(' || dnp || '\. Điều)', chr(10) || chr(10) || '\1', 'g'),
        '\n{{3,}}', chr(10) || chr(10), 'g'),
-      '^\n+', '') AS processed
+      '^\n+', '')"""
+
+
+_DN_ESC_SQL = r"""regexp_replace(dn, '([.^$|?*+()\[\]{}\\])', '\\\1', 'g') AS dnp,
+            replace(dn, '\', '\\') AS dnr"""
+
+
+@register(
+    "docs_postprocess",
+    rf"""
+    WITH named AS (SELECT doc_id, text, {_DOC_NAME_SQL} AS dn FROM documents),
+    raw AS (SELECT doc_id, dn, {_PP_CONTENT_SQL} AS content FROM named),
+    esc AS (SELECT doc_id, dn, content, {_DN_ESC_SQL} FROM raw)
+    SELECT doc_id, dn AS doc_name,
+     {_duck_postprocess_expr("content")} AS processed
     FROM esc ORDER BY doc_id
     """,
 )
@@ -1954,6 +1963,100 @@ def media_ocr_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_media(spark, media_from_documents(spark, sf_dir))
     return route_media(media).orderBy("doc_id", "media_ref")
+
+
+# --- docs_full_pipeline: run_pipeline end-to-end ---------------------------
+#
+# The reference's flagship lifecycle (pipeline.py:387-435): fetch HTML →
+# extract_content (DOM parse + tooltip/footnote joins + Điều-heading
+# normalization + line merge) → postprocess(content, doc_name) →
+# doc_name header + sanitized filename. One gated query chains ALL of it:
+# the HTML is synthesized marker-rich so the fold has real work (lone-dot
+# paragraph, click-note remnant, Chương prefixing, title-cased Điều
+# heading → doc_name prefix + blank-line rules).
+
+_FP_FRAGS_SQL = """SELECT doc_id,
+       substr(text, 1, 20) AS f1, substr(text, 21, 15) AS f2,
+       substr(text, 36, 20) AS f3, substr(text, 71, 15) AS f5,
+       substr(text, 86, 20) AS f6, doc_id % 9 AS k,
+       {dn} AS dn FROM documents""".format(dn=_DOC_NAME_SQL)
+
+_FP_CONTENT_SQL = """
+       trim('Căn cứ ' || f1 || ';') || chr(10) ||
+       trim(regexp_replace('Điều 1. Phạm vi ' || f2, '\\s+', ' ', 'g')) || chr(10) ||
+       trim(f3 || ' văn bản liên quan [' || trim('giải thích ' || f5) || '] hết câu.') || chr(10) ||
+       '.' || chr(10) ||
+       'Chương I QUY ĐỊNH CHUNG nội dung cuối [Click vào để xem nội dung] hết.' || chr(10) ||
+       trim('bổ sung ' || f6) || ' [Điểm a Khoản ' || CAST(k AS VARCHAR) || ']'
+"""
+
+
+@register(
+    "docs_full_pipeline",
+    rf"""
+    WITH f AS ({_FP_FRAGS_SQL}),
+    raw AS (SELECT doc_id, dn, {_FP_CONTENT_SQL} AS content FROM f),
+    esc AS (SELECT doc_id, dn, content, {_DN_ESC_SQL} FROM raw)
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           replace(replace(dn, ' ', '_'), '/', '-') || '.txt' AS out_file,
+           dn || chr(10) || {_duck_postprocess_expr("content")} AS final_text
+    FROM esc ORDER BY doc_id
+    """,
+)
+def docs_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_pipeline end-to-end (pipeline.py:387-435): synthesized raw
+    HTML → real parse stage → tooltip/footnote joins → line merge →
+    the full postprocess fold → doc_name header + sanitized output
+    filename (pipeline.py:423-426). The oracle composes closed-form
+    extracted paragraphs with the mechanical DuckDB fold — the engine
+    must reproduce the reference's whole lifecycle byte-for-byte."""
+    from .functions.text import postprocess_fold
+    from .sources.html_parse import extract_documents, parse_pages
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    nl = "\n"
+    sid = F.col("doc_id").cast("string")
+    f1, f2 = F.substring("text", 1, 20), F.substring("text", 21, 15)
+    f3, f5 = F.substring("text", 36, 20), F.substring("text", 71, 15)
+    f6 = F.substring("text", 86, 20)
+    tt = F.concat(F.lit("tt"), (F.col("doc_id") % 7).cast("string"))
+    dn = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("Nghị định "), sid, F.lit("/2020/NĐ-CP")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("Thông tư "), sid, F.lit(".2021.TT-BYT")))
+        .otherwise(F.concat(F.lit("Luật số "), sid, F.lit("/2019/QH14")))
+    )
+    html = F.concat(
+        F.lit('<html><body><div class="content1">' + nl + "Căn cứ "), f1, F.lit(";" + nl),
+        F.lit("<b>Điều 1." + nl + "Phạm vi "), f2, F.lit("</b>" + nl),
+        f3, F.lit(' <a atmm=".'), tt, F.lit('">văn bản liên quan</a> hết câu.' + nl),
+        F.lit("." + nl),
+        F.lit("Chương I" + nl + "QUY ĐỊNH CHUNG" + nl),
+        F.lit("nội dung cuối [Click vào để xem nội dung] hết." + nl),
+        F.lit('<huongdan id="span-note_'), sid, F.lit('">Bổ sung</huongdan>' + nl),
+        F.lit("</div>" + nl),
+        F.lit('<div class="'), tt, F.lit('">giải thích '), f5, F.lit("</div>"),
+        F.lit('<div id="note_'), sid, F.lit('">bổ sung '), f6,
+        F.lit("|~|Điểm a Khoản "), (F.col("doc_id") % 9).cast("string"), F.lit("</div></body></html>"),
+    )
+    paras = extract_documents(parse_pages(docs.select("doc_id", html.alias("html"))))
+    content = paras.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("para_offset", "paragraph"))),
+                lambda s: s["paragraph"],
+            ),
+        ).alias("content")
+    )
+    names = docs.select(sid.alias("doc_id"), dn.alias("dn"))
+    out = content.join(names, "doc_id").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.regexp_replace("dn", " ", "_"), "/", "-"), F.lit(".txt")
+        ).alias("out_file"),
+        F.concat(F.col("dn"), F.lit("\n"), postprocess_fold(F.col("content"), F.col("dn"))).alias("final_text"),
+    )
+    return out.orderBy("doc_id")
 
 
 # --- J5: golden-comparison join across OCR model outputs -------------------
