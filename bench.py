@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "emb_knn_bruteforce",
     "emb_knn_lsh",
     "emb_knn_multitable",
+    "emb_cosine_near_dup",
 ]
 
 BENCH_WORLD = dict(n_hosts=16, base_size=300, links_per_page=4, budget_per_host=25, max_epochs=4)

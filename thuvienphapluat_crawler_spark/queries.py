@@ -1008,6 +1008,85 @@ def emb_knn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_multitable_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
 
 
+def _emb_near_dup_oracle() -> str:
+    def bucket_expr(t: int) -> str:
+        parts = []
+        for p, plane in enumerate(S.HYPERPLANE_TABLES[t]):
+            lits = ", ".join(repr(x) for x in plane)
+            parts.append(
+                f"CASE WHEN list_inner_product(ne, [{lits}]::DOUBLE[]) > 0 THEN {2**p} ELSE 0 END"
+            )
+        return " + ".join(parts)
+
+    table_buckets = ", ".join(f"({bucket_expr(t)}) AS b{t}" for t in range(S.LSH_TABLES))
+    cand_unions = " UNION ".join(
+        f"SELECT a.nid AS na, b.nid AS nb FROM bucketed a JOIN bucketed b ON a.b{t} = b.b{t} AND a.nid < b.nid"
+        for t in range(S.LSH_TABLES)
+    )
+    return f"""
+    WITH aug AS (
+      SELECT vec_id * 2 AS nid, embedding::DOUBLE[] AS ne FROM embeddings
+      UNION ALL
+      SELECT vec_id * 2 + 1,
+             [embedding[1]::DOUBLE + 0.05] || (embedding::DOUBLE[])[2:]
+      FROM embeddings WHERE vec_id % 5 = 0),
+    bucketed AS (SELECT nid, ne, {table_buckets} FROM aug),
+    cand AS ({cand_unions}),
+    sims AS (SELECT cand.na, cand.nb,
+                    round(list_inner_product(a.ne, b.ne) /
+                          (sqrt(list_inner_product(a.ne, a.ne)) * sqrt(list_inner_product(b.ne, b.ne))), 6) AS sim
+             FROM cand JOIN aug a ON a.nid = cand.na JOIN aug b ON b.nid = cand.nb)
+    SELECT na AS vec_a, nb AS vec_b, sim AS cosine
+    FROM sims WHERE sim >= 0.98 ORDER BY vec_a, vec_b
+    """
+
+
+@register("emb_cosine_near_dup", _emb_near_dup_oracle())
+def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the brief's
+    'embedding-cosine near-dup' op): every 5th vector gets a perturbed
+    twin (first component +0.05); candidates come from the multi-table
+    LSH buckets — NEVER an all-pairs cosine — and exact cosine ≥ 0.98
+    verifies. The same layout at 10^9 vectors: bucket keys shuffle,
+    vectors join in once for verification."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select((F.col("vec_id") * 2).alias("nid"), S.as_double(F.col("embedding")).alias("ne"))
+    twin_vec = F.concat(
+        F.array(F.element_at(S.as_double(F.col("embedding")), 1) + 0.05),
+        F.slice(S.as_double(F.col("embedding")), 2, S.LSH_DIM - 1),
+    )
+    twins = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") * 2 + 1).alias("nid"), twin_vec.alias("ne")
+    )
+    aug = base.unionByName(twins)
+    buckets = aug.select(
+        "nid", "ne", *[S.lsh_table_bucket(F.col("ne"), t).alias(f"b{t}") for t in range(S.LSH_TABLES)]
+    ).localCheckpoint()  # consumed by L self-joins — materialize once
+    narrow = buckets.select(
+        "nid",
+        F.explode(
+            F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b")) for t in range(S.LSH_TABLES)])
+        ).alias("tb"),
+    ).select("nid", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    l, r = narrow.alias("l"), narrow.alias("r")
+    cand = (
+        l.join(r, ["t", "b"])
+        .filter(F.col("l.nid") < F.col("r.nid"))
+        .select(F.col("l.nid").alias("na"), F.col("r.nid").alias("nb"))
+        .distinct()
+    )
+    va = buckets.select(F.col("nid").alias("na"), F.col("ne").alias("ea"))
+    vb = buckets.select(F.col("nid").alias("nb"), F.col("ne").alias("eb"))
+    return (
+        cand.join(va, "na")
+        .join(vb, "nb")
+        .withColumn("cosine", F.round(S.cosine(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("cosine") >= 0.98)
+        .select(F.col("na").alias("vec_a"), F.col("nb").alias("vec_b"), "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @register(
     "cube_order_stats",
     """
@@ -1848,6 +1927,26 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import hourly_stats_stream
 
     return hourly_stats_stream(spark, sf_dir)
+
+
+@register(
+    "streaming_seen_dedup",
+    """
+    WITH urls AS (
+      SELECT DISTINCT 'https://host' || CAST((doc_id % 250) % 7 AS VARCHAR)
+               || '.example.vn/doc-' || CAST(doc_id % 250 AS VARCHAR) || '.aspx' AS canonical_url,
+             'host' || CAST((doc_id % 250) % 7 AS VARCHAR) AS host
+      FROM documents)
+    SELECT host, count(*) AS n_unique FROM urls GROUP BY host ORDER BY host
+    """,
+)
+def streaming_seen_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL-seen set as a real Structured Streaming query: streaming
+    dropDuplicates over a continuous URL feed (the stateful seen set),
+    per-host unique counts; oracle is the batch DISTINCT."""
+    from .streaming.events import streaming_seen_dedup
+
+    return streaming_seen_dedup(spark, sf_dir)
 
 
 _MEDIA_ITEMS_SQL = f"""

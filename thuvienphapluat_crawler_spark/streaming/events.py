@@ -97,3 +97,48 @@ def windowed_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def streaming_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL-seen set as a STREAMING operator (SURVEY §2.7 U4's
+    streaming twin): a continuous URL feed deduplicated with streaming
+    dropDuplicates (state = the seen set; in production bounded by a
+    watermark on discovery time + the engine's persistent filter), then
+    counted per host. Two documents map to every canonical URL
+    (doc_id % 250), so the dedup has real work; the batch DISTINCT is
+    the oracle."""
+    name = f"seen_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    key = F.col("doc_id") % 250  # 2 docs per URL at sf0.01 → real dedup work
+    urls = stream.select(
+        F.concat(F.lit("host"), (key % 7).cast("string")).alias("host"),
+        F.concat(
+            F.lit("https://host"), (key % 7).cast("string"),
+            F.lit(".example.vn/doc-"), key.cast("string"), F.lit(".aspx"),
+        ).alias("canonical_url"),
+    )
+    pending = urls.dropDuplicates(["canonical_url"]).groupBy("host").agg(
+        F.count("*").alias("n_unique")
+    )
+    q = pending.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("host", "n_unique").orderBy("host")
