@@ -132,3 +132,27 @@ def test_engine_seen_set_identical_with_cuckoo(spark, tmp_path):
             ),
         }
     assert results["bloom"] == results["cuckoo"]
+
+
+def test_cuckoo_saturates_gracefully():
+    # over-capacity must DEGRADE (all maybe-seen), never crash — the
+    # exact anti-join downstream keeps correctness either way
+    f = CuckooFilter(64)  # 64 buckets × 4 slots = 256 capacity
+    keys = np.arange(1, 5000, dtype=np.int64) * 6364136223846793005
+    f.add(keys)  # far over capacity
+    assert f.saturated
+    assert f.contains(keys).all(), "saturated filter must stay no-false-negative"
+    assert f.contains(np.array([123456789], dtype=np.int64)).all()
+    # persists+reloads as saturated
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        update_bucket(root, 0, epoch=0, keys=keys[:10], capacity=10_000, kind="cuckoo")
+        # force saturation through the persistence path
+        g = load_bucket(root, 0, 0)
+        g._saturate()
+        import numpy as _np, os as _os
+        with open(_os.path.join(root, "bloom", "epoch=00000", "bucket_0.npy"), "wb") as fh:
+            _np.save(fh, g.table, allow_pickle=False)
+        h = load_bucket(root, 0, 0)
+        assert h.saturated and h.contains(np.array([1], dtype=np.int64)).all()

@@ -34,18 +34,22 @@ def test_footnote_join(spark):
         [
             ("d1", 0, "xem chú thích", "span-note_7"),
             ("d1", 1, "bình thường", None),
+            ("d1", 2, "không nguồn", "span-note_8"),
         ],
         "doc_id string, offset int, text string, element_id string",
     )
     notes = spark.createDataFrame(
-        [("note_7", "Nội dung chú thích|~|Nguồn: Công báo")],
-        "note_div_id string, note_text string",
+        [
+            ("d1", "note_7", "Nội dung chú thích|~|Nguồn: Công báo"),
+            ("d1", "note_8", "Chỉ có nội dung"),
+        ],
+        "doc_id string, note_id string, note_text string",
     )
     rows = {r.offset: r for r in footnote_join(elements, notes).collect()}
-    assert rows[0].text == "Nội dung chú thích"  # body replaces element text
-    assert rows[0].note_source == "Nguồn: Công báo"
+    # the reference's exact replacement format (pipeline.py:177-181)
+    assert rows[0].text == "\nNội dung chú thích [Nguồn: Công báo]"
     assert rows[1].text == "bình thường"
-    assert rows[1].note_source is None
+    assert rows[2].text == "\nChỉ có nội dung"
 
 
 def test_chunk_table_rows_header_reemitted(spark):

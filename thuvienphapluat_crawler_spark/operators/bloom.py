@@ -185,12 +185,25 @@ class CuckooFilter:
     def _alt(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
         return (i ^ (_mix(fp.astype(np.uint64)) % np.uint64(self.n_buckets)).astype(np.int64)) % self.n_buckets
 
+    @property
+    def saturated(self) -> bool:
+        """Over-capacity sentinel: a 1×1 table means the filter gave up
+        and answers maybe-seen for EVERYTHING. Graceful like a saturated
+        bloom — the exact anti-join authority still guarantees
+        correctness; only the prefilter benefit is lost for this bucket
+        (partial-key cuckoos cannot resize in place: bucket indices
+        derive from the lost original keys)."""
+        return self.table.size == 1
+
+    def _saturate(self) -> None:
+        self.table = np.zeros((1, 1), dtype=np.uint16)
+        self.n_buckets, self.slots = 1, 1
+
     def add(self, keys: np.ndarray) -> None:
-        if len(keys) == 0:
+        if len(keys) == 0 or self.saturated:
             return
         keys = np.asarray(keys)
         fps, i1s = self._fp(keys), self._i1(keys)
-        rng_state = np.uint64(0x9E3779B97F4A7C15)
         for fp, i in zip(fps, i1s):
             fp = np.uint16(fp)
             i = int(i)
@@ -211,11 +224,14 @@ class CuckooFilter:
                         self.table[cur, empty[0]] = fp
                         break
                 else:
-                    raise RuntimeError("cuckoo filter over capacity — resize the bucket")
+                    self._saturate()  # over capacity → degrade, never crash
+                    return
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
+        if self.saturated:
+            return np.ones(len(keys), dtype=bool)  # all maybe-seen
         keys = np.asarray(keys)
         fps, i1 = self._fp(keys), self._i1(keys)
         i2 = self._alt(i1, fps)
@@ -226,6 +242,8 @@ class CuckooFilter:
     def delete(self, keys: np.ndarray) -> np.ndarray:
         """Remove ONE stored copy per present key; returns per-key found flags."""
         keys = np.asarray(keys)
+        if self.saturated:
+            return np.zeros(len(keys), dtype=bool)
         fps, i1s = self._fp(keys), self._i1(keys)
         out = np.zeros(len(keys), dtype=bool)
         for n, (fp, i) in enumerate(zip(fps, i1s)):

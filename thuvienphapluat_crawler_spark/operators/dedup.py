@@ -110,6 +110,9 @@ def lsh_candidate_pairs(
     emit |B|² pairs — THE failure mode of LSH dedup at 100 TB). The size
     filter is one extra aggregation on the same shuffle key, so no new
     shuffle; pass max_bucket_size=None to disable the guard."""
+    # three consumers (size agg + both join sides) — materialize the
+    # signature/banding subtree once instead of re-running it per branch
+    bands = bands.localCheckpoint()
     if max_bucket_size is not None:
         sizes = _bucket_sizes(bands).filter(F.col("bucket_size") <= max_bucket_size)
         bands = bands.join(sizes.select("band", "band_hash"), ["band", "band_hash"])
@@ -163,9 +166,17 @@ def ngram_jaccard_pairs(
     bucket_col: str | None = None,
     threshold: float = 0.1,
     n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Shingle-join near-dup: explode distinct shingles, equi-join on the
-    shingle (+ optional bucket) to form candidates, exact Jaccard ≥ τ."""
+    shingle (+ optional bucket) to form candidates, exact Jaccard ≥ τ.
+
+    max_shingle_df caps a shingle's DOCUMENT FREQUENCY: a boilerplate
+    trigram appearing in d docs contributes d² join rows — the hot-key
+    blowup of shingle joins at corpus scale. Dropping shingles with
+    df > cap bounds per-key join work at cap²; intersections shrink by
+    the dropped (uninformative) shingles while set sizes stay exact, so
+    the estimate is conservative for near-dups that share rare content."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         *( [F.col(bucket_col).alias("bucket")] if bucket_col else [] ),
@@ -177,6 +188,9 @@ def ngram_jaccard_pairs(
     # explode per side — materialize the exploded shingles once
     ex = ex.localCheckpoint()
     keys = (["bucket"] if bucket_col else []) + ["s"]
+    if max_shingle_df is not None:
+        df_ok = ex.groupBy(*keys).agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_shingle_df)
+        ex = ex.join(df_ok.select(*keys), keys)
     l = ex.alias("l")
     r = ex.alias("r")
     inter = (

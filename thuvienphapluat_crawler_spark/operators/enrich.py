@@ -20,41 +20,51 @@ CHUNK_ROWS = 30  # format_xls.py:18
 
 
 def tooltip_join(elements: DataFrame, tooltips: DataFrame) -> DataFrame:
-    """elements(doc_id, offset, text, tooltip_class) ⟕ tooltips(doc_id,
+    """elements(..., doc_id, text, tooltip_class) ⟕ tooltips(doc_id,
     tooltip_class, tooltip_text): append ' [tooltip]' to matched element
-    text; noise tooltips dropped (pipeline.py:148); unmatched unchanged.
-    """
+    text (crawler.py:113); noise tooltips dropped (pipeline.py:148);
+    unmatched unchanged. All other element columns pass through — this
+    is THE J1 implementation (the HTML extract path consumes it too)."""
     tt = tooltips.filter(F.col("tooltip_text") != TOOLTIP_NOISE)
     joined = elements.join(
         F.broadcast(tt), ["doc_id", "tooltip_class"], "left"
     )
-    return joined.select(
-        "doc_id",
-        "offset",
+    new_text = (
         F.when(
             F.col("tooltip_text").isNotNull(),
             F.concat(F.col("text"), F.lit(" ["), F.col("tooltip_text"), F.lit("]")),
         )
         .otherwise(F.col("text"))
-        .alias("text"),
     )
+    return joined.withColumn("text", new_text).drop("tooltip_text")
 
 
 def footnote_join(elements: DataFrame, notes: DataFrame) -> DataFrame:
-    """<huongdan id="span-note_X"> elements ⟕ div#note_X notes; the note
-    body replaces the element text and splits on '|~|' into
-    (content, source) — pipeline.py:154-184, 207-213."""
+    """<huongdan id="span-note_X"> elements ⟕ notes(doc_id, note_id,
+    note_text); a matched note REPLACES the element text with the
+    reference's exact format (pipeline.py:168-182):
+
+        '\\n{main} [{source}]'  when note_text splits on '|~|'
+        '\\n{main}'             when it has no source part
+        '\\n{note_text}'        when there is no '|~|' at all
+
+    All other element columns pass through — THE J2 implementation."""
     el = elements.withColumn(
         "note_id", F.regexp_replace(F.col("element_id"), r"^span-", "")
     )
-    joined = el.join(F.broadcast(notes), el.note_id == notes.note_div_id, "left")
+    joined = el.join(F.broadcast(notes), ["doc_id", "note_id"], "left")
     parts = F.split(F.col("note_text"), r"\|~\|")
-    return joined.select(
-        "doc_id",
-        "offset",
-        F.coalesce(F.element_at(parts, 1), F.col("text")).alias("text"),
-        F.element_at(parts, 2).alias("note_source"),
-    )
+    # try_element_at: a note without '|~|' has one part (ANSI element_at
+    # would throw on index 2)
+    main = F.trim(F.try_element_at(parts, F.lit(1)))
+    src = F.trim(F.try_element_at(parts, F.lit(2)))
+    replacement = F.when(
+        src.isNotNull() & (src != ""), F.concat(F.lit("\n"), main, F.lit(" ["), src, F.lit("]"))
+    ).otherwise(F.concat(F.lit("\n"), main))
+    new_text = F.when(
+        F.col("note_text").isNotNull() & (F.trim(F.col("note_text")) != ""), replacement
+    ).otherwise(F.col("text"))
+    return joined.withColumn("text", new_text).drop("note_text", "note_id")
 
 
 def chunk_table_rows(

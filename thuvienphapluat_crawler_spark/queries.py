@@ -792,8 +792,9 @@ def _minhash_lsh_oracle() -> str:
 
 @register("docs_minhash_lsh_pairs", _minhash_lsh_oracle())
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup detection end-to-end: signatures → 4-row bands
-    → bucket self-join candidates → exact Jaccard ≥ 0.5 verification.
+    """MinHash+LSH near-dup detection end-to-end: signatures → 8-row bands
+    (2 tables) → size-capped bucket self-join candidates → exact
+    Jaccard ≥ 0.5 verification.
     Candidate generation is a bucket equi-join (never O(n²)); hot buckets
     are the skew case AQE splits."""
     corpus = _augmented_docs(spark, sf_dir)
@@ -821,9 +822,11 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws FROM corpus)),
     sizes AS (SELECT doc_id, len(s) AS n FROM sh),
     ex AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+    kept AS (SELECT * FROM ex
+             QUALIFY count(*) OVER (PARTITION BY source, g) <= 64),
     inter AS (
       SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_inter
-      FROM ex l JOIN ex r ON l.source = r.source AND l.g = r.g
+      FROM kept l JOIN kept r ON l.source = r.source AND l.g = r.g
       WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
     SELECT i.doc_a, i.doc_b,
            round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 4) AS jaccard
@@ -844,7 +847,7 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = orig.unionByName(near)
     return (
-        D.ngram_jaccard_pairs(corpus, bucket_col="source", threshold=0.8, n=3)
+        D.ngram_jaccard_pairs(corpus, bucket_col="source", threshold=0.8, n=3, max_shingle_df=64)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
@@ -965,18 +968,21 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
 
 
-def _lsh_multitable_oracle() -> str:
-    def bucket_expr(t: int) -> str:
-        parts = []
-        for p, plane in enumerate(S.HYPERPLANE_TABLES[t]):
-            lits = ", ".join(repr(x) for x in plane)
-            parts.append(
-                f"CASE WHEN list_inner_product(ne, [{lits}]::DOUBLE[]) > 0 THEN {2**p} ELSE 0 END"
-            )
-        return " + ".join(parts)
+def _duck_bucket_expr(t: int) -> str:
+    """DuckDB sign-LSH bucket id for hyperplane table t (shared by the
+    multi-table ANN and near-dup oracles)."""
+    parts = []
+    for p, plane in enumerate(S.HYPERPLANE_TABLES[t]):
+        lits = ", ".join(repr(x) for x in plane)
+        parts.append(
+            f"CASE WHEN list_inner_product(ne, [{lits}]::DOUBLE[]) > 0 THEN {2**p} ELSE 0 END"
+        )
+    return " + ".join(parts)
 
+
+def _lsh_multitable_oracle() -> str:
     ids = ", ".join(map(str, _KNN_QUERY_IDS))
-    table_buckets = ", ".join(f"({bucket_expr(t)}) AS b{t}" for t in range(S.LSH_TABLES))
+    table_buckets = ", ".join(f"({_duck_bucket_expr(t)}) AS b{t}" for t in range(S.LSH_TABLES))
     cand_unions = " UNION ".join(
         f"""SELECT q.nid AS qid, c.nid AS nid FROM bucketed q
             JOIN bucketed c ON q.b{t} = c.b{t} AND c.nid != q.nid
@@ -1009,16 +1015,7 @@ def emb_knn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_near_dup_oracle() -> str:
-    def bucket_expr(t: int) -> str:
-        parts = []
-        for p, plane in enumerate(S.HYPERPLANE_TABLES[t]):
-            lits = ", ".join(repr(x) for x in plane)
-            parts.append(
-                f"CASE WHEN list_inner_product(ne, [{lits}]::DOUBLE[]) > 0 THEN {2**p} ELSE 0 END"
-            )
-        return " + ".join(parts)
-
-    table_buckets = ", ".join(f"({bucket_expr(t)}) AS b{t}" for t in range(S.LSH_TABLES))
+    table_buckets = ", ".join(f"({_duck_bucket_expr(t)}) AS b{t}" for t in range(S.LSH_TABLES))
     cand_unions = " UNION ".join(
         f"SELECT a.nid AS na, b.nid AS nb FROM bucketed a JOIN bucketed b ON a.b{t} = b.b{t} AND a.nid < b.nid"
         for t in range(S.LSH_TABLES)
@@ -1689,6 +1686,17 @@ _DOC_NAME_SQL = """CASE doc_id % 3
     WHEN 1 THEN 'Thông tư ' || CAST(doc_id AS VARCHAR) || '.2021.TT-BYT'
     ELSE 'Luật số ' || CAST(doc_id AS VARCHAR) || '/2019/QH14' END"""
 
+def _doc_name_col() -> F.Column:
+    """Spark twin of _DOC_NAME_SQL (one definition feeds docs_postprocess
+    AND docs_full_pipeline — keep in sync with the SQL above)."""
+    sid = F.col("doc_id").cast("string")
+    return (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("Nghị định "), sid, F.lit("/2020/NĐ-CP")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("Thông tư "), sid, F.lit(".2021.TT-BYT")))
+        .otherwise(F.concat(F.lit("Luật số "), sid, F.lit("/2019/QH14")))
+    )
+
+
 # marker-rich raw content: every fold step has work (lone dot, click-notes,
 # khoản-after-], Chương/Mục, line-start + mid-line + split Điều titles,
 # quote-join + quote-exclusion, forced step-11 de-prefix, blank-run)
@@ -1771,11 +1779,7 @@ def docs_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     nl = "\n"
-    dn = (
-        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("Nghị định "), F.col("doc_id").cast("string"), F.lit("/2020/NĐ-CP")))
-        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("Thông tư "), F.col("doc_id").cast("string"), F.lit(".2021.TT-BYT")))
-        .otherwise(F.concat(F.lit("Luật số "), F.col("doc_id").cast("string"), F.lit("/2019/QH14")))
-    )
+    dn = _doc_name_col()
     content = F.concat(
         F.lit(nl + nl + "CHÍNH PHỦ" + nl + "Số: "), F.col("doc_id").cast("string"), F.lit("/2020" + nl),
         F.lit("." + nl),
@@ -1887,8 +1891,11 @@ def crawl_engine_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.frontier import CrawlEngine
     from .sources.synthetic_web import World
 
+    import atexit
+
     root = tempfile.mkdtemp(prefix="tvpl_demo_wh_")
     keep = tempfile.mkdtemp(prefix="tvpl_demo_out_")
+    atexit.register(shutil.rmtree, keep, ignore_errors=True)  # result outlives the query, not the process
     try:
         world = World(n_hosts=4, base_size=60, links_per_page=3, budget_per_host=6, max_epochs=2)
         engine = CrawlEngine(spark, world, root, n_buckets=4)
@@ -2119,11 +2126,7 @@ def docs_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     f3, f5 = F.substring("text", 36, 20), F.substring("text", 71, 15)
     f6 = F.substring("text", 86, 20)
     tt = F.concat(F.lit("tt"), (F.col("doc_id") % 7).cast("string"))
-    dn = (
-        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("Nghị định "), sid, F.lit("/2020/NĐ-CP")))
-        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("Thông tư "), sid, F.lit(".2021.TT-BYT")))
-        .otherwise(F.concat(F.lit("Luật số "), sid, F.lit("/2019/QH14")))
-    )
+    dn = _doc_name_col()
     html = F.concat(
         F.lit('<html><body><div class="content1">' + nl + "Căn cứ "), f1, F.lit(";" + nl),
         F.lit("<b>Điều 1." + nl + "Phạm vi "), f2, F.lit("</b>" + nl),

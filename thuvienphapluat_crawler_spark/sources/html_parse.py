@@ -188,7 +188,7 @@ def extract_documents(parsed: DataFrame) -> DataFrame:
     Joins are broadcast (tooltip/note dims are small per batch); the only
     shuffles are the per-doc text re-assembly and the merge window — both
     keyed on doc_id, so Spark reuses one partitioning."""
-    from ..operators.enrich import TOOLTIP_NOISE
+    from ..operators.enrich import footnote_join, tooltip_join
 
     # four branches (nodes/elements/tooltips/notes) consume the parse —
     # materialize it once or Catalyst duplicates the MapInPandas subtree
@@ -203,39 +203,18 @@ def extract_documents(parsed: DataFrame) -> DataFrame:
         tooltip_class_col(F.col("atmm"), F.col("onmouseover")).alias("tooltip_class"),
         F.col("element_id"),
     )
-    tooltips = (
-        parsed.filter(F.col("node_kind") == "tooltip")
-        .select("doc_id", F.col("css_class").alias("tooltip_class"), F.col("text").alias("tooltip_text"))
-        .filter(F.col("tooltip_text") != TOOLTIP_NOISE)
+    tooltips = parsed.filter(F.col("node_kind") == "tooltip").select(
+        "doc_id", F.col("css_class").alias("tooltip_class"), F.col("text").alias("tooltip_text")
     )
     notes = parsed.filter(F.col("node_kind") == "note").select(
         "doc_id", F.col("element_id").alias("note_id"), F.col("text").alias("note_text")
     )
 
-    # J1 tooltip join: append ' [tooltip]' (crawler.py:113, noise already out)
-    with_tt = elements.join(F.broadcast(tooltips), ["doc_id", "tooltip_class"], "left")
-    # J2 footnote join: 'span-note_X' → 'note_X', '|~|' split, text replaced
-    # by '\n{main} [{source}]' (pipeline.py:173-181)
-    keyed = with_tt.withColumn(
-        "note_id", F.regexp_replace(F.col("element_id"), r"^span-", "")
-    )
-    with_notes = keyed.join(F.broadcast(notes), ["doc_id", "note_id"], "left")
-    parts = F.split(F.col("note_text"), r"\|~\|")
-    main, src = F.trim(F.element_at(parts, 1)), F.trim(F.element_at(parts, 2))
-    enriched = with_notes.select(
-        "doc_id",
-        "offset",
-        F.when(
-            F.col("note_text").isNotNull(),
-            F.when(src.isNotNull() & (src != ""), F.concat(F.lit("\n"), main, F.lit(" ["), src, F.lit("]")))
-            .otherwise(F.concat(F.lit("\n"), main)),
-        )
-        .when(
-            F.col("tooltip_text").isNotNull(),
-            F.concat(F.col("text"), F.lit(" ["), F.col("tooltip_text"), F.lit("]")),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
+    # the canonical J1 + J2 operators (operators/enrich.py) — hover
+    # append first, footnote replacement second, matching the reference's
+    # processing order (pipeline.py:187-213)
+    enriched = footnote_join(tooltip_join(elements, tooltips), notes).select(
+        "doc_id", "offset", "text"
     )
 
     # flatten in document order (get_text analogue), split to lines, merge
