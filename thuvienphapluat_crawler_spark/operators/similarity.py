@@ -119,19 +119,37 @@ def lsh_ann_topk(
 LSH_TABLES = 4
 LSH_PLANES_PER_TABLE = 6
 
-_rng_t = np.random.RandomState(1234)
-HYPERPLANE_TABLES: list[list[list[float]]] = [
-    [[round(float(v), 6) for v in _rng_t.randn(LSH_DIM)] for _ in range(LSH_PLANES_PER_TABLE)]
-    for _ in range(LSH_TABLES)
-]
+# Plane-count picks the precision/recall point: FEW planes per table →
+# big recall-oriented buckets (kNN candidates); MANY planes → tiny
+# precision-oriented buckets where only near-identical vectors collide
+# (near-dup detection). 6 planes over 6k vectors ≈ 94/bucket — fine for
+# top-k search, quadratic poison for all-pairs near-dup verification.
+NEARDUP_TABLES = 2
+NEARDUP_PLANES_PER_TABLE = 12
 
 
-def lsh_table_bucket(vec: Column, table: int) -> Column:
+def _make_hyperplanes(n_tables: int, n_planes: int, seed: int) -> list[list[list[float]]]:
+    rng = np.random.RandomState(seed)
+    return [
+        [[round(float(v), 6) for v in rng.randn(LSH_DIM)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+HYPERPLANE_TABLES: list[list[list[float]]] = _make_hyperplanes(LSH_TABLES, LSH_PLANES_PER_TABLE, 1234)
+NEARDUP_HYPERPLANES: list[list[list[float]]] = _make_hyperplanes(NEARDUP_TABLES, NEARDUP_PLANES_PER_TABLE, 4321)
+
+
+def planes_bucket(vec: Column, planes: list[list[float]]) -> Column:
     sig = F.lit(0)
-    for p, plane in enumerate(HYPERPLANE_TABLES[table]):
+    for p, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(x) for x in plane])
         sig = sig + F.when(_dot(vec, plane_col) > 0, F.lit(2**p)).otherwise(F.lit(0))
     return sig
+
+
+def lsh_table_bucket(vec: Column, table: int) -> Column:
+    return planes_bucket(vec, HYPERPLANE_TABLES[table])
 
 
 def lsh_multitable_topk(

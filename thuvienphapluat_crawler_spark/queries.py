@@ -968,11 +968,11 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
 
 
-def _duck_bucket_expr(t: int) -> str:
+def _duck_bucket_expr(t: int, tables=None) -> str:
     """DuckDB sign-LSH bucket id for hyperplane table t (shared by the
     multi-table ANN and near-dup oracles)."""
     parts = []
-    for p, plane in enumerate(S.HYPERPLANE_TABLES[t]):
+    for p, plane in enumerate((tables or S.HYPERPLANE_TABLES)[t]):
         lits = ", ".join(repr(x) for x in plane)
         parts.append(
             f"CASE WHEN list_inner_product(ne, [{lits}]::DOUBLE[]) > 0 THEN {2**p} ELSE 0 END"
@@ -1015,10 +1015,12 @@ def emb_knn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_near_dup_oracle() -> str:
-    table_buckets = ", ".join(f"({_duck_bucket_expr(t)}) AS b{t}" for t in range(S.LSH_TABLES))
+    table_buckets = ", ".join(
+        f"({_duck_bucket_expr(t, S.NEARDUP_HYPERPLANES)}) AS b{t}" for t in range(S.NEARDUP_TABLES)
+    )
     cand_unions = " UNION ".join(
         f"SELECT a.nid AS na, b.nid AS nb FROM bucketed a JOIN bucketed b ON a.b{t} = b.b{t} AND a.nid < b.nid"
-        for t in range(S.LSH_TABLES)
+        for t in range(S.NEARDUP_TABLES)
     )
     return f"""
     WITH aug AS (
@@ -1057,12 +1059,13 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = base.unionByName(twins)
     buckets = aug.select(
-        "nid", "ne", *[S.lsh_table_bucket(F.col("ne"), t).alias(f"b{t}") for t in range(S.LSH_TABLES)]
+        "nid", "ne",
+        *[S.planes_bucket(F.col("ne"), S.NEARDUP_HYPERPLANES[t]).alias(f"b{t}") for t in range(S.NEARDUP_TABLES)],
     ).localCheckpoint()  # consumed by L self-joins — materialize once
     narrow = buckets.select(
         "nid",
         F.explode(
-            F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b")) for t in range(S.LSH_TABLES)])
+            F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b")) for t in range(S.NEARDUP_TABLES)])
         ).alias("tb"),
     ).select("nid", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
     l, r = narrow.alias("l"), narrow.alias("r")
