@@ -100,12 +100,18 @@ def main() -> None:
         Q.QUERIES[name](spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
     run_crawl_bench(spark, WARM_WORLD)
 
+    # best-of-2 per query, second pass in reverse order: the host's load
+    # swings 4-40x on minute scales (SCALING.md), so a single pass can
+    # charge any query for a passing load spike; two opposed-order passes
+    # give every query one shot at each half of the window
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = Q.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for qlist in (BENCH_QUERIES, list(reversed(BENCH_QUERIES))):
+        for name in qlist:
+            fn = Q.QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     # best-of-2: the epoch loop is the longest single item and the host's
     # load swings 4-7x between minutes (SCALING.md) — one retry halves
