@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "table_header_tiers",
     "table_annex_title",
     "table_chunks",
+    "table_markdown",
     "media_ocr_route",
     "docs_paragraph_merge",
     "docs_paragraph_merge_exact",

@@ -1677,6 +1677,93 @@ def workbook_sheet_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "table_markdown",
+    f"""
+    WITH rows AS ({_TABLE_ROWS_SQL}),
+    hdrs AS (
+      SELECT doc_id, h,
+             '| ' || array_to_string(list_transform(cells,
+                 c -> trim(replace(coalesce(c, ''), chr(10), ' '))), ' | ') || ' |' AS hl,
+             '|' || array_to_string(list_transform(cells, c -> '---'), '|') || '|' AS sep
+      FROM rows WHERE row_idx = h),
+    body AS (
+      SELECT r.doc_id, r.row_idx,
+             (row_number() OVER (PARTITION BY r.doc_id ORDER BY r.row_idx) - 1) // 5 AS chunk_id,
+             '| ' || array_to_string(list_transform(r.cells,
+                 c -> trim(replace(coalesce(c, ''), chr(10), ' '))), ' | ') || ' |' AS line
+      FROM rows r
+      WHERE r.row_idx > r.h AND (r.row_idx - r.h) % 7 != 0),
+    chunks AS (
+      SELECT b.doc_id, b.chunk_id,
+             '<!-- Page ' || CAST(b.chunk_id + 1 AS VARCHAR) || ' -->' || chr(10)
+               || any_value(h.hl) || chr(10) || any_value(h.sep) || chr(10)
+               || string_agg(b.line, chr(10) ORDER BY b.row_idx) AS chunk_md
+      FROM body b JOIN hdrs h USING (doc_id)
+      GROUP BY b.doc_id, b.chunk_id)
+    SELECT doc_id, string_agg(chunk_md, chr(10) ORDER BY chunk_id) AS markdown
+    FROM chunks GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def table_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7's OUTPUT format: chunked tables rendered as the reference's
+    exact markdown (extract_tables.py:80-92 — '| c | c |' rows, a
+    '|---|' separator under the header, cells newline-collapsed and
+    trimmed, a page-marker comment per chunk) after header-dedup and
+    5-row chunking. The oracle rebuilds the markdown in closed form from
+    the planted layout."""
+    from .operators.enrich import chunk_table_rows, detect_header_row, drop_repeated_headers
+
+    rows = _table_rows(spark, sf_dir).select("doc_id", "row_idx", "cells")
+    hdr = detect_header_row(rows)
+    dedup = drop_repeated_headers(rows, hdr)
+    post = dedup.join(F.broadcast(hdr), "doc_id").filter(F.col("row_idx") >= F.col("header_idx")).drop("header_idx")
+    chunks = chunk_table_rows(post, ["doc_id"], order_col="row_idx", chunk_rows=5)
+    line = F.concat(
+        F.lit("| "),
+        F.array_join(
+            F.transform(F.col("cells"), lambda c: F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), "\n", " "))),
+            " | ",
+        ),
+        F.lit(" |"),
+    )
+    sep = F.concat(
+        F.lit("|"),
+        F.array_join(F.transform(F.col("cells"), lambda c: F.lit("---")), "|"),
+        F.lit("|"),
+    )
+    fmt = chunks.select(
+        "doc_id", "chunk_id", "is_header", "row_idx", line.alias("line"), sep.alias("sep")
+    )
+    per_chunk = fmt.groupBy("doc_id", "chunk_id").agg(
+        F.concat(
+            F.lit("<!-- Page "), (F.col("chunk_id") + 1).cast("string"), F.lit(" -->\n"),
+            F.max(F.when(F.col("is_header"), F.col("line"))), F.lit("\n"),
+            F.max(F.when(F.col("is_header"), F.col("sep"))), F.lit("\n"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(F.when(~F.col("is_header"), F.struct("row_idx", "line")))),
+                    lambda s: s["line"],
+                ),
+            ),
+        ).alias("chunk_md")
+    )
+    return (
+        per_chunk.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("chunk_id", "chunk_md"))),
+                    lambda s: s["chunk_md"],
+                ),
+            ).alias("markdown")
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- docs_postprocess: the full 14-step doc_name-parameterized regex fold ---
 
 _VUP_SQL = "A-ZĐÀÁẢÃẠĂẮẰẲẴẶÂẤẦẨẪẬÈÉẺẼẸÊẾỀỂỄỆÌÍỈĨỊÒÓỎÕỌÔỐỒỔỖỘƠỚỜỞỠỢÙÚỦŨỤƯỨỪỬỮỰỲÝỶỸỴ"
