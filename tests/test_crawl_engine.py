@@ -11,13 +11,13 @@ WORLD = SW.World(n_hosts=4, base_size=60, links_per_page=4, budget_per_host=8, m
 
 def spark_log_rows(engine: CrawlEngine):
     return sorted(
-        (r.epoch, r.host, r.rank, r.canonical_url, r.fetch_slot, r.status, r.attempts)
+        (r.epoch, r.host, r.rank, r.canonical_url, r.fetch_slot, r.status, r.attempts, r.cookie_header)
         for r in engine.crawl_log().collect()
     )
 
 
 def oracle_log_rows(res: crawl_oracle.OracleResult):
-    return sorted((e, h, rk, u, slot, st, at) for (e, h, rk, u, slot, st, at) in res.log)
+    return sorted(res.log)
 
 
 @pytest.fixture(scope="module")
@@ -69,6 +69,20 @@ def test_politeness_spacing(run):
         slots = sorted(r.fetch_slot for r in group)
         for a, b in zip(slots, slots[1:]):
             assert b - a >= delay - 1e-9, f"politeness violated on {host} epoch {epoch}"
+
+
+def test_cookies_broadcast_into_fetch(run):
+    """Hosts with a cookie dimension row fetch WITH that cookie header on
+    every request; cookie-less hosts send none (crawler.py:62-70 cookie
+    injection, generalized to a broadcast-joined per-host dimension)."""
+    engine, _ = run
+    rows = engine.crawl_log().collect()
+    assert rows
+    for r in rows:
+        h_idx = int(r.host[4:7])
+        assert r.cookie_header == SW.host_cookie_header(h_idx)
+    assert any(r.cookie_header for r in rows)
+    assert any(not r.cookie_header for r in rows)
 
 
 def test_error_rows_have_no_docs(run):

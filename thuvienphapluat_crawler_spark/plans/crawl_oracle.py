@@ -16,7 +16,8 @@ from ..sources import synthetic_web as SW
 
 @dataclass
 class OracleResult:
-    # (epoch, host, rank, url, fetch_slot, status, attempts) in crawl order
+    # (epoch, host, rank, url, fetch_slot, status, attempts, cookie_header)
+    # in crawl order
     log: list[tuple] = field(default_factory=list)
     seen: set[str] = field(default_factory=set)
     # url -> ordered span tuples (kind, text, media_ref, offset)
@@ -51,9 +52,10 @@ def crawl(world: SW.World, seeds_per_host: int = 2, max_epochs: int | None = Non
             entries.sort(key=lambda t: (SW.category_priority(SW.parse_url_parts(t[0])[1]), t[1], SW.url_fp(t[0])))
             h_idx = int(host[4:7])
             delay = SW.crawl_delay(h_idx)
+            cookie = SW.host_cookie_header(h_idx)
             for rank, (u, d) in enumerate(entries[: world.budget_per_host], start=1):
                 status, attempts = SW.fetch_attempts(u)
-                res.log.append((epoch, host, rank, u, (rank - 1) * delay, status, attempts))
+                res.log.append((epoch, host, rank, u, (rank - 1) * delay, status, attempts, cookie))
                 fetched.add(u)
                 any_fetch = True
                 if status != "ok":

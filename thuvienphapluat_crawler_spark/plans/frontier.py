@@ -56,7 +56,10 @@ FRONTIER_SCHEMA = (
     "canonical_url string, url_fp string, url_hash long, host string, host_bucket int, "
     "category string, category_priority int, depth int, discovered_epoch int"
 )
-CRAWL_LOG_SCHEMA = FRONTIER_SCHEMA + ", epoch int, rank int, fetch_slot double, status string, attempts int"
+CRAWL_LOG_SCHEMA = (
+    FRONTIER_SCHEMA
+    + ", epoch int, rank int, fetch_slot double, status string, attempts int, cookie_header string"
+)
 SPAN_ROW_SCHEMA = "doc_id string, canonical_url string, kind string, text string, media_ref string, offset int"
 OUTLINK_SCHEMA = "out_url string, src_depth int"
 CHECKPOINT_SCHEMA = (
@@ -123,6 +126,18 @@ class CrawlEngine:
         self.wh.stage("frontier", 0, fr.repartition(self.n_buckets, "host_bucket"))
         self._bloom_update(fr, epoch=0)
         self.wh.commit_epoch(0, ["frontier"], lineage={"seeds": len(seeds)})
+
+    def _cookie_dim(self) -> DataFrame:
+        """Per-host cookie dimension (S1 output shape) broadcast-joined
+        into the fetch stage — the reference injects file-loaded cookies
+        into every fetch (crawler.py:62-70, pipeline.py:114-117). Tiny
+        table (one row per host) → broadcast, never a shuffle."""
+        rows = [
+            (SW.host_name(h), SW.host_cookie_header(h))
+            for h in range(self.world.n_hosts)
+            if SW.host_cookie_header(h)
+        ]
+        return self.spark.createDataFrame(rows or [("", "")], "host string, cookie_header string")
 
     # -- pandas-UDF stages ------------------------------------------------
 
@@ -250,6 +265,8 @@ class CrawlEngine:
         batch = (
             eligible.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= world.budget_per_host)
+            .join(F.broadcast(self._cookie_dim()), "host", "left")
+            .withColumn("cookie_header", F.coalesce("cookie_header", F.lit("")))
         )
 
         fetched = batch.groupBy("host").applyInPandas(

@@ -14,6 +14,8 @@ Coverage maps to SURVEY.md §2:
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -755,7 +757,9 @@ def docs_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(docs).orderBy("doc_id")
 
 
-def _minhash_lsh_oracle() -> str:
+def _minhash_band_ctes() -> str:
+    """Shared CTE chain corpus→toks→th→sigs→bands (the SQL replay of
+    minhash_signatures + minhash_bands over the augmented corpus)."""
     rows_per_band = D.MINHASH_K // D.MINHASH_BANDS
     sig_cols = ", ".join(
         f"min(((h % {D.MINHASH_P}) * {D.MINHASH_A[k]} + {D.MINHASH_B[k]}) % {D.MINHASH_P}) AS sig{k}"
@@ -767,12 +771,16 @@ def _minhash_lsh_oracle() -> str:
             FROM sigs"""
         for b in range(D.MINHASH_BANDS)
     )
-    return f"""
-    WITH corpus AS ({_AUG_SQL}),
+    return f"""corpus AS ({_AUG_SQL}),
          toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok FROM corpus),
          th AS (SELECT DISTINCT doc_id, {_TOKHASH_SQL} AS h FROM toks),
          sigs AS (SELECT doc_id, {sig_cols} FROM th GROUP BY doc_id),
-         bands AS ({band_selects}),
+         bands AS ({band_selects})"""
+
+
+def _minhash_lsh_oracle() -> str:
+    return f"""
+    WITH {_minhash_band_ctes()},
          kept AS (SELECT * FROM bands
                   QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= {D.LSH_MAX_BUCKET}),
          pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -806,6 +814,54 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "lsh_bucket_stats",
+    f"""
+    WITH {_minhash_band_ctes()},
+    bs AS (SELECT band, band_hash, count(*) AS bucket_size FROM bands GROUP BY 1, 2)
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(bucket_size) AS BIGINT) AS max_bucket_size,
+           CAST(sum(CASE WHEN bucket_size > {D.LSH_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped_buckets,
+           CAST(sum(CASE WHEN bucket_size > {D.LSH_MAX_BUCKET} THEN bucket_size ELSE 0 END) AS BIGINT)
+               AS n_docs_in_dropped,
+           CAST(sum(CASE WHEN bucket_size > {D.LSH_MAX_BUCKET}
+                         THEN (bucket_size * (bucket_size - 1)) // 2 ELSE 0 END) AS BIGINT)
+               AS pairs_avoided
+    FROM bs GROUP BY band ORDER BY band
+    """,
+)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the LSH hot-bucket guard (operators/dedup.py
+    LSH_MAX_BUCKET): per band, how many buckets exist, the largest one,
+    and exactly what the cap dropped — buckets, member docs, and the
+    candidate pairs avoided (the |B|(|B|-1)/2 blowup the cap bounds).
+    This surfaces the r02 verdict's 'no silent cap' requirement as a
+    driver-gated query; the recall cost of the drops is quantified in
+    tests/test_dedup_cap.py on a planted corpus. Same single shuffle key
+    (band, band_hash) as candidate generation — the stats are one extra
+    re-agg on an already-shuffled layout."""
+    corpus = _augmented_docs(spark, sf_dir)
+    bands = D.minhash_bands(D.minhash_signatures(corpus))
+    cap = D.LSH_MAX_BUCKET
+    bs = bands.groupBy("band", "band_hash").agg(F.count("*").alias("bucket_size"))
+    hot = F.col("bucket_size") > cap
+    return (
+        bs.groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.max("bucket_size").cast("bigint").alias("max_bucket_size"),
+            F.sum(hot.cast("long")).cast("bigint").alias("n_dropped_buckets"),
+            F.sum(F.when(hot, F.col("bucket_size")).otherwise(0)).cast("bigint").alias("n_docs_in_dropped"),
+            F.sum(
+                F.when(hot, F.expr("(bucket_size * (bucket_size - 1)) div 2")).otherwise(F.lit(0))
+            ).cast("bigint").alias("pairs_avoided"),
+        )
+        .orderBy("band")
     )
 
 
@@ -1968,13 +2024,41 @@ def salted_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host")
 
 
-@register("crawl_engine_demo")  # no oracle: multi-epoch stateful engine → rows-only check
+def _crawl_demo_oracle_sql() -> str:
+    """DuckDB VALUES oracle for crawl_engine_demo: the demo world is fixed
+    and fully deterministic, so the expected crawl log is generated here
+    by the single-threaded reference oracle (plans/crawl_oracle.py — the
+    sequential semantics of pipeline.py:387-435) and embedded as literal
+    rows. This closes the r02 gap where the engine demo was the one
+    rows-only driver check: the driver now verifies the distributed
+    engine's crawl order, politeness slots, retry counts, and broadcast
+    cookie headers against the sequential replay, value-for-value."""
+    from .plans import crawl_oracle as CO
+    from .sources.synthetic_web import World
+
+    res = CO.crawl(World(**_DEMO_WORLD), seeds_per_host=2)
+    vals = ", ".join(
+        f"({e}, '{h}', {rk}, '{u}', {float(slot)!r}, '{st}', {at}, '{ck}')"
+        for (e, h, rk, u, slot, st, at, ck) in res.log
+    )
+    return (
+        'SELECT CAST(epoch AS INT) AS epoch, host, CAST("rank" AS INT) AS "rank", canonical_url, '
+        'CAST(fetch_slot AS DOUBLE) AS fetch_slot, status, CAST(attempts AS INT) AS attempts, '
+        "cookie_header FROM (VALUES " + vals + ') AS t(epoch, host, "rank", canonical_url, '
+        'fetch_slot, status, attempts, cookie_header) ORDER BY epoch, host, "rank"'
+    )
+
+
+_DEMO_WORLD = dict(n_hosts=4, base_size=60, links_per_page=3, budget_per_host=6, max_epochs=2)
+
+
+@register("crawl_engine_demo", _crawl_demo_oracle_sql())
 def crawl_engine_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full crawl engine end-to-end on a small deterministic world
-    (frontier generations, bloom+anti-join dedup, politeness, atomic
-    epoch commits). Exact-equality gates live in pytest
-    (tests/test_crawl_engine.py vs the single-threaded oracle); here the
-    driver sees the crawl log as a rows-only check."""
+    (frontier generations, bloom+anti-join dedup, politeness, broadcast
+    cookies, atomic epoch commits). The oracle is the single-threaded
+    reference replay embedded as VALUES (see _crawl_demo_oracle_sql);
+    the full-size equality gates live in tests/test_crawl_engine.py."""
     import shutil
     import tempfile
 
@@ -1987,12 +2071,12 @@ def crawl_engine_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = tempfile.mkdtemp(prefix="tvpl_demo_out_")
     atexit.register(shutil.rmtree, keep, ignore_errors=True)  # result outlives the query, not the process
     try:
-        world = World(n_hosts=4, base_size=60, links_per_page=3, budget_per_host=6, max_epochs=2)
+        world = World(**_DEMO_WORLD)
         engine = CrawlEngine(spark, world, root, n_buckets=4)
         engine.run()
         log = engine.crawl_log()
         out = log.select(
-            "epoch", "host", "rank", "canonical_url", "fetch_slot", "status", "attempts"
+            "epoch", "host", "rank", "canonical_url", "fetch_slot", "status", "attempts", "cookie_header"
         ).orderBy("epoch", "host", "rank")
         # detach from the about-to-be-deleted warehouse WITHOUT a driver
         # collect: write the result delta, read it back (distributed path)
@@ -2267,6 +2351,33 @@ def _ocr_model_sql(m: str, idx: int) -> str:
         FROM pages WHERE CAST(('0x' || substr({key}, 1, 2)) AS INT) % 4 != {idx}"""
 
 
+def _ocr_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampled OCR page set: one row per media span (the page images
+    a VLM backend would see), page = 1-based index within the doc."""
+    from .operators.spans import explode_to_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        explode_to_spans(docs)
+        .filter(F.col("kind") == "media")
+        .select("doc_id", (((F.col("offset") + 1) / 5)).cast("int").alias("page"))
+    )
+
+
+def _ocr_model_df(pages: DataFrame, m: str, idx: int, alias: str | None = None) -> DataFrame:
+    """Simulated model-m OCR output over the page set: ~25% of pages
+    missing (a different quarter per model), text pseudo-random from
+    md5(model|doc|page) — the Spark twin of _ocr_model_sql."""
+    key_sql = f"md5('{m}|' || CAST(doc_id AS STRING) || '|' || CAST(page AS STRING))"
+    key = F.expr(key_sql)
+    present = F.conv(F.substring(key, 1, 2), 16, 10).cast("int") % 4 != idx
+    text = F.concat(
+        F.lit(f"ocr-{m}:"),
+        F.expr(f"substr({key_sql}, 1, 8 + CAST(conv(substr({key_sql}, 3, 1), 16, 10) AS INT))"),
+    )
+    return pages.filter(present).select("doc_id", "page", text.alias(alias or f"text_{m}"))
+
+
 @register(
     "ocr_golden_compare",
     f"""
@@ -2294,30 +2405,8 @@ def ocr_golden_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     outputs by page): three simulated model-output tables — each missing
     ~25% of pages, a DIFFERENT quarter per model — full_outer-joined on
     (doc, page) with per-page presence and length diff columns."""
-    from .operators.spans import explode_to_spans
-
-    docs = load(spark, sf_dir, "documents")
-    pages = (
-        explode_to_spans(docs)
-        .filter(F.col("kind") == "media")
-        .select("doc_id", (((F.col("offset") + 1) / 5)).cast("int").alias("page"))
-    )
-
-    def model_df(m: str, idx: int) -> DataFrame:
-        key = F.md5(
-            F.concat(F.lit(m + "|"), F.col("doc_id").cast("string"), F.lit("|"), F.col("page").cast("string"))
-        )
-        present = F.conv(F.substring(key, 1, 2), 16, 10).cast("int") % 4 != idx
-        text = F.concat(
-            F.lit(f"ocr-{m}:"),
-            F.expr(
-                f"substr(md5('{m}|' || CAST(doc_id AS STRING) || '|' || CAST(page AS STRING)), 1, "
-                f"8 + CAST(conv(substr(md5('{m}|' || CAST(doc_id AS STRING) || '|' || CAST(page AS STRING)), 3, 1), 16, 10) AS INT))"
-            ),
-        )
-        return pages.filter(present).select("doc_id", "page", text.alias(f"text_{m}"))
-
-    m0, m1, m2 = (model_df(m, i) for i, m in enumerate(_OCR_MODELS))
+    pages = _ocr_pages_df(spark, sf_dir)
+    m0, m1, m2 = (_ocr_model_df(pages, m, i) for i, m in enumerate(_OCR_MODELS))
     joined = m0.join(m1, ["doc_id", "page"], "full_outer").join(m2, ["doc_id", "page"], "full_outer")
     return joined.select(
         "doc_id",
@@ -2331,6 +2420,207 @@ def ocr_golden_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text_mistral").cast("bigint").alias("len_mistral"),
         F.length("text_gpt41mini").cast("bigint").alias("len_gpt41mini"),
     ).orderBy("doc_id", "page")
+
+
+# --- S13: catalog-driven HTTP-sink (foreachPartition spool) -----------------
+
+_UPLOAD_CAT_SQL = """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS file,
+         CAST(doc_id % 1000 AS VARCHAR) || '/2024/QĐ-BYT' AS document_number,
+         CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'Luat' WHEN 1 THEN 'Nghi-dinh'
+              WHEN 2 THEN 'Thong-tu' WHEN 3 THEN 'Quyet-dinh' ELSE 'Nghi-quyet' END AS document_type,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Bộ Y tế' WHEN 1 THEN 'Chính phủ'
+              ELSE 'Bộ Tài chính' END AS issuing_authority,
+         substr(text, 1, 30) AS title,
+         printf('%02d/%02d/2024', CAST(1 + doc_id % 28 AS INT), CAST(1 + doc_id % 12 AS INT)) AS issued_date
+  FROM documents"""
+
+
+@register(
+    "upload_statuses",
+    f"""
+    WITH cat AS ({_UPLOAD_CAT_SQL}),
+    flagged AS (
+      SELECT *, substr(md5(file), 1, 1) != '0' AS present,
+             substr(md5(file), 2, 1) AS d2 FROM cat),
+    posted AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY file) - 1 AS DOUBLE) AS post_slot
+      FROM flagged WHERE present),
+    out AS (
+      SELECT file, document_number, document_type, issuing_authority, title, issued_date,
+             CASE WHEN d2 IN ('0', '1') THEN 'failed' ELSE 'success' END AS status,
+             CASE WHEN d2 IN ('0', '1') THEN NULL ELSE 200 END AS status_code,
+             CASE WHEN d2 IN ('0', '1') THEN 'HTTP 500: upstream' ELSE NULL END AS error,
+             post_slot
+      FROM posted
+      UNION ALL
+      SELECT file, document_number, document_type, issuing_authority, title, issued_date,
+             'skipped', NULL, 'File not found', NULL
+      FROM flagged WHERE NOT present)
+    SELECT file, document_number, document_type, issuing_authority, title, issued_date,
+           status, CAST(status_code AS BIGINT) AS status_code, error, post_slot
+    FROM out ORDER BY file
+    """,
+)
+def upload_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 end-to-end (upload_documents.py:100-137): synthesize the
+    6-column catalog from documents, J3-join against the available-files
+    set (missing → skipped, upload_documents.py:83-89), derive the
+    deterministic POST outcome per file, schedule the 1 req/s throttle
+    on a virtual clock (post_slot; the reference's time.sleep(1),
+    upload_documents.py:129), WRITE every POST record through the
+    foreachPartition spool sink, then re-read the spool as the statuses
+    table. The returned rows ARE the sink's output — the oracle checks
+    the whole write-read lifecycle, not just the dataframe math."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .sources.catalog import catalog_file_join
+    from .sources.synthetic_web import CATEGORIES
+    from .sources.upload_sink import read_post_records, spool_post_records
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    catalog = docs.select(
+        F.concat(F.lit("doc_"), sid, F.lit(".txt")).alias("file"),
+        F.concat((F.col("doc_id") % 1000).cast("string"), F.lit("/2024/QĐ-BYT")).alias("document_number"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in CATEGORIES]), ((F.col("doc_id") % 5) + 1).cast("int")
+        ).alias("document_type"),
+        F.element_at(
+            F.array(F.lit("Bộ Y tế"), F.lit("Chính phủ"), F.lit("Bộ Tài chính")),
+            ((F.col("doc_id") % 3) + 1).cast("int"),
+        ).alias("issuing_authority"),
+        F.substring("text", 1, 30).alias("title"),
+        F.format_string(
+            "%02d/%02d/2024", (1 + F.col("doc_id") % 28).cast("int"), (1 + F.col("doc_id") % 12).cast("int")
+        ).alias("issued_date"),
+    ).localCheckpoint()  # consumed by both join sides
+    # the available-files listing (P9 existence filter as an anti-join side)
+    files = catalog.select("file").filter(F.substring(F.md5("file"), 1, 1) != "0")
+    joined = catalog_file_join(catalog, files)
+
+    d2 = F.substring(F.md5("file"), 2, 1)
+    failed = d2.isin("0", "1")
+    # Virtual 1 req/s token bucket: POSTs fire at slot 0,1,2,… in file
+    # order (global — the reference is one sequential client; at a higher
+    # allowed rate this window becomes per-lane after a repartition)
+    posted = (
+        joined.filter(F.col("status") == "upload")
+        .withColumn("post_slot", (F.row_number().over(Window.orderBy("file")) - 1).cast("double"))
+        .select(
+            "file", "document_number", "document_type", "issuing_authority", "title", "issued_date",
+            F.when(failed, "failed").otherwise("success").alias("status"),
+            F.when(~failed, F.lit(200)).cast("long").alias("status_code"),
+            F.when(failed, F.lit("HTTP 500: upstream")).alias("error"),
+            "post_slot",
+        )
+    )
+    skipped = joined.filter(F.col("status") == "skipped").select(
+        "file", "document_number", "document_type", "issuing_authority", "title", "issued_date",
+        F.lit("skipped").alias("status"),
+        F.lit(None).cast("long").alias("status_code"),
+        F.lit("File not found").alias("error"),
+        F.lit(None).cast("double").alias("post_slot"),
+    )
+    records = posted.unionByName(skipped)
+
+    spool = tempfile.mkdtemp(prefix="tvpl_upload_spool_")
+    atexit.register(shutil.rmtree, spool, ignore_errors=True)
+    spool_post_records(records, spool)
+    return read_post_records(spark, spool).orderBy("file")
+
+
+# --- A4 tail: OCR token/cost accounting -------------------------------------
+
+# Pricing per 1M tokens, straight from the reference: gpt-4o-mini tier
+# 0.15/0.60 and gpt-4o tier 2.50/10.00 (ocr/test_ocr_quality.py:91-95),
+# gpt-4.1-mini 0.40/1.60 (ocr/sample_ocr_gpt41mini.py:139). Our three
+# simulated backends map onto those three tiers.
+_OCR_PRICING = {"qwen": (0.15, 0.60), "mistral": (2.50, 10.00), "gpt41mini": (0.40, 1.60)}
+# Per-page image prompt cost: a deterministic stand-in for the VLM's
+# prompt_tokens usage field (test_ocr_quality.py:80-84).
+_PROMPT_TOKENS_SQL = "850 + (page % 50)"
+
+
+def _ocr_cost_oracle_sql() -> str:
+    models = "\n      UNION ALL ".join(
+        f"SELECT '{m}' AS model, {_PROMPT_TOKENS_SQL} AS prompt_tokens, "
+        f"length(text_{m}) AS completion_tokens FROM m{i}"
+        for i, m in enumerate(_OCR_MODELS)
+    )
+    prices = ", ".join(
+        f"('{m}', CAST({i} AS DOUBLE), CAST({o} AS DOUBLE))" for m, (i, o) in _OCR_PRICING.items()
+    )
+    return f"""
+    WITH pages AS ({_OCR_PAGES_SQL}),
+    m0 AS ({_ocr_model_sql(_OCR_MODELS[0], 0)}),
+    m1 AS ({_ocr_model_sql(_OCR_MODELS[1], 1)}),
+    m2 AS ({_ocr_model_sql(_OCR_MODELS[2], 2)}),
+    u AS ({models}),
+    pr AS (SELECT * FROM (VALUES {prices}) AS p(model, in_price, out_price))
+    SELECT u.model,
+           count(*) AS total_pages,
+           CAST(sum(prompt_tokens) AS BIGINT) AS total_prompt_tokens,
+           CAST(sum(completion_tokens) AS BIGINT) AS total_completion_tokens,
+           round(avg(prompt_tokens), 4) AS avg_prompt_tokens,
+           round(avg(completion_tokens), 4) AS avg_completion_tokens,
+           round(CAST(sum(prompt_tokens) AS DOUBLE) / 1000000.0 * in_price, 4) AS input_cost_usd,
+           round(CAST(sum(completion_tokens) AS DOUBLE) / 1000000.0 * out_price, 4) AS output_cost_usd,
+           round(CAST(sum(prompt_tokens) AS DOUBLE) / 1000000.0 * in_price
+                 + CAST(sum(completion_tokens) AS DOUBLE) / 1000000.0 * out_price, 4) AS total_cost_usd,
+           CAST(round((CAST(sum(prompt_tokens) AS DOUBLE) / 1000000.0 * in_price
+                 + CAST(sum(completion_tokens) AS DOUBLE) / 1000000.0 * out_price) * 25000, 0) AS BIGINT)
+               AS total_cost_vnd
+    FROM u JOIN pr ON u.model = pr.model
+    GROUP BY u.model, in_price, out_price
+    ORDER BY u.model
+    """
+
+
+@register("ocr_cost_summary", _ocr_cost_oracle_sql())
+def ocr_cost_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 cost accounting (ocr/test_ocr_quality.py:88-113 estimate_cost +
+    sample_ocr_gpt41mini.py:137-141): per-model token totals/averages and
+    derived $ columns — cost = tokens/1M × per-model price, round(…,4),
+    VND ≈ USD×25000 round(…,0). The pricing dict is a tiny broadcast
+    dimension (the reference's in-code pricing table); the token source
+    is the same simulated model-output tables the J5 golden-compare
+    joins, so page presence per model matches it exactly. One union →
+    one broadcast join → one 3-group agg: map-side partials make this a
+    single tiny shuffle at any corpus scale."""
+    pages = _ocr_pages_df(spark, sf_dir).localCheckpoint()  # 3 model branches, 1 explode
+    parts = [
+        _ocr_model_df(pages, m, i, alias="text").select(
+            F.lit(m).alias("model"),
+            (F.lit(850) + F.col("page") % 50).cast("long").alias("prompt_tokens"),
+            F.length("text").cast("long").alias("completion_tokens"),
+        )
+        for i, m in enumerate(_OCR_MODELS)
+    ]
+    u = reduce(DataFrame.unionByName, parts)
+    pricing = spark.createDataFrame(
+        [(m, i, o) for m, (i, o) in _OCR_PRICING.items()],
+        "model string, in_price double, out_price double",
+    )
+    in_cost = F.sum("prompt_tokens").cast("double") / 1000000.0 * F.first("in_price")
+    out_cost = F.sum("completion_tokens").cast("double") / 1000000.0 * F.first("out_price")
+    return (
+        u.join(F.broadcast(pricing), "model")
+        .groupBy("model")
+        .agg(
+            F.count("*").alias("total_pages"),
+            F.sum("prompt_tokens").cast("bigint").alias("total_prompt_tokens"),
+            F.sum("completion_tokens").cast("bigint").alias("total_completion_tokens"),
+            F.round(F.avg("prompt_tokens"), 4).alias("avg_prompt_tokens"),
+            F.round(F.avg("completion_tokens"), 4).alias("avg_completion_tokens"),
+            F.round(in_cost, 4).alias("input_cost_usd"),
+            F.round(out_cost, 4).alias("output_cost_usd"),
+            F.round(in_cost + out_cost, 4).alias("total_cost_usd"),
+            F.round((in_cost + out_cost) * 25000, 0).cast("bigint").alias("total_cost_vnd"),
+        )
+        .orderBy("model")
+    )
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -83,6 +83,31 @@ def crawl_delay(h: int) -> float:
     return 1.0 + (h % 3)
 
 
+def host_cookie_header(h: int) -> str:
+    """Cookie header the fetch stage sends for a host (the reference
+    injects file-loaded cookies into every fetch — crawler.py:62-70,
+    pipeline.py:114-117). Deterministic: every third host is
+    cookie-less; the rest carry a session + lang pair, mirroring the
+    Netscape-file fields the S1 scan parses (crawler.py:31-38)."""
+    if h % 3 == 2:
+        return ""
+    return f"session=tvpl{h:03d}; lang=vi"
+
+
+def host_cookie_file_lines(n_hosts: int) -> list[str]:
+    """The same cookie dimension in Netscape cookies.txt form (7-col TSV,
+    crawler.py:9-47) — what a real deployment would feed the S1 scan;
+    host_cookie_header(h) is its per-host projection."""
+    lines = ["# Netscape HTTP Cookie File"]
+    for h in range(n_hosts):
+        if h % 3 == 2:
+            continue
+        dom = host_name(h)
+        lines.append(f".{dom}\tTRUE\t/\tTRUE\t2147483647\tsession\ttvpl{h:03d}")
+        lines.append(f".{dom}\tTRUE\t/\tFALSE\t2147483647\tlang\tvi")
+    return lines
+
+
 def fetch_attempts(url: str) -> tuple[str, int]:
     """Deterministic fetch outcome: ('ok'|'error', attempts_used).
     digit 0 → permanent error after 3 attempts (error sentinel, never an
