@@ -1734,6 +1734,78 @@ def workbook_sheet_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xlsx_real_sheets",
+    """
+    WITH t AS (SELECT doc_id, 5 + doc_id % 4 AS n1, 1 + doc_id % 2 AS h1 FROM documents)
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'Sheet1' AS sheet_name,
+           CAST(h1 AS BIGINT) AS header_idx, CAST(n1 AS BIGINT) AS n_rows,
+           'STT' AS header_cell0 FROM t
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), 'PhuLuc', 2, 5, 'cột a' FROM t
+    ORDER BY doc_id, sheet_name
+    """,
+)
+def xlsx_real_sheets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 with the decode REAL end-to-end: per doc, build an actual .xlsx
+    (zip of SpreadsheetML with a shared-string table — sources/
+    workbook.py:build_xlsx), decode it with the stdlib reader
+    (parse_xlsx_bytes — the production scan is binaryFile + the same
+    mapInPandas), then run the 3-tier header detection over the decoded
+    rows. The planted layout matches workbook_sheet_tables, so the
+    oracle states it in closed form; header_cell0 additionally pins the
+    decoded CELL VALUES (shared-string resolution, None-gap padding),
+    not just row counts. Replaces the r02 'xlsx decode stubbed' caveat
+    (reference: format_xls.py:182-186 pd.read_excel(sheet_name=None))."""
+    import pandas as pd  # noqa: F401  (inside mapInPandas below)
+
+    from .operators.enrich import detect_header_row
+    from .sources.workbook import SHEET_ROW_SCHEMA, build_xlsx, parse_xlsx_bytes
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth_and_scan(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d, t = int(doc_id), str(text)
+                n1, h1 = 5 + d % 4, 1 + d % 2
+                s1 = [
+                    ["STT", "MÃ SỐ", "Tên thủ tục"] if i == h1 else [f"r{i}", f"M{d}.{i}", t[:8]]
+                    for i in range(n1)
+                ]
+                s2 = [
+                    [f"PHỤ LỤC {d % 5}", None, None],
+                    [t[:12], None, None],
+                    ["cột a", "cột b", "cột c"],
+                    ["x3", "y3", "z3"],
+                    ["x4", "y4", "z4"],
+                ]
+                for name, i, cells in parse_xlsx_bytes(build_xlsx({"Sheet1": s1, "PhuLuc": s2})):
+                    rows.append((str(d), name, i, cells))
+            yield pd.DataFrame(rows, columns=["doc_id", "sheet_name", "row_idx", "cells"])
+
+    sheets = docs.mapInPandas(synth_and_scan, SHEET_ROW_SCHEMA).localCheckpoint()  # 3 consumers
+    hdr = detect_header_row(sheets, doc_col=["doc_id", "sheet_name"], markers=("STT", "MÃ"))
+    nrows = sheets.groupBy("doc_id", "sheet_name").agg(F.count("*").alias("n_rows"))
+    cell0 = sheets.select(
+        "doc_id", "sheet_name", F.col("row_idx").alias("header_idx"), F.col("cells").getItem(0).alias("header_cell0")
+    )
+    return (
+        hdr.join(nrows, ["doc_id", "sheet_name"])
+        .join(cell0, ["doc_id", "sheet_name", "header_idx"])
+        .select(
+            "doc_id", "sheet_name",
+            F.col("header_idx").cast("bigint").alias("header_idx"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "header_cell0",
+        )
+        .orderBy("doc_id", "sheet_name")
+    )
+
+
+@register(
     "table_markdown",
     f"""
     WITH rows AS ({_TABLE_ROWS_SQL}),
