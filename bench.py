@@ -60,7 +60,12 @@ BENCH_QUERIES = [
     "table_annex_title",
     "table_chunks",
     "table_markdown",
+    "xlsx_real_sheets",  # real xlsx encode+decode path (r03)
     "media_ocr_route",
+    "ocr_golden_compare",  # r02 verdict: the one oracle query with no perf sample
+    "ocr_cost_summary",
+    "upload_statuses",  # foreachPartition spool sink incl. write+readback
+    "lsh_bucket_stats",
     "docs_paragraph_merge",
     "docs_paragraph_merge_exact",
     "emb_knn_bruteforce",
