@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "table_chunks",
     "table_markdown",
     "xlsx_real_sheets",  # real xlsx encode+decode path (r03)
+    "pdf_real_text",  # real PDF text-layer encode+decode path (r03)
     "media_ocr_route",
     "ocr_golden_compare",  # r02 verdict: the one oracle query with no perf sample
     "ocr_cost_summary",

@@ -1,0 +1,78 @@
+"""S6 real PDF text-layer codec (sources/pdfdoc.py).
+
+Reference behavior: ocr/test_ocr_quality.py:38-44 extract_text_pymupdf —
+per-page text layer, the cheap no-OCR tier of ocr/README.md:57-62 routing.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from thuvienphapluat_crawler_spark.sources.pdfdoc import (
+    _stream_bytes,
+    build_pdf,
+    pages_from_pdfs,
+    parse_pdf_text,
+)
+
+PAGES = [
+    ["Điều 1. Phạm vi (a) \\ back", "line(2)"],
+    ["PHỤ LỤC", "", "x)y(z"],
+    ["тест юникода"],
+]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_roundtrip(compress):
+    got = parse_pdf_text(build_pdf(PAGES, compress=compress))
+    assert got == [(i, "\n".join(p)) for i, p in enumerate(PAGES)]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_deterministic_bytes(compress):
+    assert build_pdf(PAGES, compress=compress) == build_pdf(PAGES, compress=compress)
+
+
+def test_flate_actually_compresses():
+    big = [["word soup " * 40] * 20]
+    plain, comp = build_pdf(big), build_pdf(big, compress=True)
+    assert b"/FlateDecode" in comp and b"/FlateDecode" not in plain
+    assert len(comp) < len(plain) // 2
+
+
+def test_unsupported_filter_raises():
+    data = build_pdf(PAGES, compress=True).replace(b"/FlateDecode", b"/LZWDecode95")
+    with pytest.raises(NotImplementedError):
+        parse_pdf_text(data)
+
+
+def test_stream_slice_is_binary_safe():
+    # A Flate payload ending in 0x0d would be mis-trimmed by the
+    # `\r?\nendstream` regex; the /Length slice must return it intact.
+    payload = next(
+        (c for i in range(20_000) if (c := zlib.compress(f"BT (x{i}) Tj ET".encode())).endswith(b"\r")),
+        None,
+    )
+    assert payload is not None, "no trailing-CR zlib payload in 20k tries (p≈1-256^-20000)"
+    body = (
+        b"<< /Length " + str(len(payload)).encode() + b" /Filter /FlateDecode >>\n"
+        b"stream\n" + payload + b"\nendstream"
+    )
+    assert _stream_bytes(body) == payload
+
+
+def test_empty_page_and_empty_doc():
+    assert parse_pdf_text(build_pdf([[]])) == [(0, "")]
+    assert parse_pdf_text(build_pdf([])) == []
+
+
+def test_spark_scan(spark):
+    rows = [(f"d{i}", build_pdf([[f"p{i}.{j}" for j in range(2)]] * (i + 1), compress=i % 2 == 1))
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id string, pdf binary")
+    out = pages_from_pdfs(df).orderBy("doc_id", "page_idx").collect()
+    assert [(r.doc_id, r.page_idx, r.text) for r in out] == [
+        (f"d{i}", p, f"p{i}.0\np{i}.1") for i in range(4) for p in range(i + 1)
+    ]

@@ -1806,6 +1806,70 @@ def xlsx_real_sheets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pdf_real_text",
+    r"""
+    WITH pg AS (
+      SELECT d.doc_id, d.text, CAST(t.i AS INT) AS page_idx
+      FROM documents d CROSS JOIN range(3) t(i)
+      WHERE t.i < 1 + d.doc_id % 3
+    ),
+    built AS (
+      SELECT doc_id, page_idx,
+             substr(text, 1 + 10 * page_idx, 24) || chr(10) ||
+             '(' || substr(text, 5, 12) || ') \ câu ' ||
+             CAST(page_idx + 1 AS VARCHAR) AS page_text
+      FROM pg)
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, page_idx,
+           doc_id % 2 = 1 AS flate,
+           page_text,
+           CAST(length(page_text) AS INT) AS page_chars
+    FROM built ORDER BY doc_id, page_idx
+    """,
+)
+def pdf_real_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 with the decode REAL end-to-end (reference: extract_text_pymupdf,
+    ocr/test_ocr_quality.py:38-44 — the cheap no-OCR routing tier). Per
+    doc, build_pdf writes an ACTUAL PDF 1.4 (1 + doc_id%3 pages; odd docs
+    Flate-compressed via stdlib zlib), then parse_pdf_text walks
+    Catalog→Pages→Kids→Contents and recovers the per-page text layer —
+    the same mapInPandas a production binaryFile scan would run. Lines
+    deliberately contain `(`, `)`, `\` and non-ASCII so the string-literal
+    escaping round-trip is what's being gated; `flate` is detected from
+    the BYTES (b'/FlateDecode' present), the oracle states it in closed
+    form. Replaces the r02 'pdf text-layer decode stubbed' caveat."""
+    from .sources.pdfdoc import build_pdf, parse_pdf_text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth_and_scan(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d, t = int(doc_id), str(text)
+                pages = [
+                    [t[10 * i : 10 * i + 24], f"({t[4:16]}) \\ câu {i + 1}"]
+                    for i in range(1 + d % 3)
+                ]
+                data = build_pdf(pages, compress=(d % 2 == 1))
+                flate = b"/FlateDecode" in data
+                for i, txt in parse_pdf_text(data):
+                    rows.append((str(d), i, flate, txt, len(txt)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page_idx", "flate", "page_text", "page_chars"]
+            )
+
+    return (
+        docs.mapInPandas(
+            synth_and_scan,
+            "doc_id string, page_idx int, flate boolean, page_text string, page_chars int",
+        )
+        .orderBy("doc_id", "page_idx")
+    )
+
+
+@register(
     "table_markdown",
     f"""
     WITH rows AS ({_TABLE_ROWS_SQL}),
