@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "table_markdown",
     "xlsx_real_sheets",  # real xlsx encode+decode path (r03)
     "pdf_real_text",  # real PDF text-layer encode+decode path (r03)
+    "pdf_table_extract",  # positioned-text PDF → geometric table reconstruction (r03)
+    "docx_real_chunks",  # real DOCX encode+decode → annex/header/markdown (r03)
+    "png_real_features",  # real PNG encode+decode → channel sums + resize (r03)
+    "robots_filter",  # robots.txt parse + broadcast rule evaluation (r03)
     "media_ocr_route",
     "ocr_golden_compare",  # r02 verdict: the one oracle query with no perf sample
     "ocr_cost_summary",

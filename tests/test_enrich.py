@@ -112,6 +112,21 @@ def test_annex_title_gate(spark):
     assert got["short"] is None
 
 
+def test_annex_title_keeps_digits_at_cell_edges(spark):
+    # Regression: transform(cells, F.trim) bound the ARRAY INDEX to trim's
+    # optional trimStr param, so cell i lost leading/trailing str(i) chars
+    # ("PHỤ LỤC 0" → "PHỤ LỤC "). Caught by the docx_real_chunks oracle.
+    from thuvienphapluat_crawler_spark.operators.enrich import annex_title
+
+    rows = [
+        ("d", 0, ["PHỤ LỤC 0"]),
+        ("d", 1, ["1 một cột dài thêm cho đủ bốn mươi ký tự 1"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, row_idx int, cells array<string>")
+    got = annex_title(df, max_rows=12, min_len=40).collect()[0].annex_title
+    assert got == "PHỤ LỤC 0 1 một cột dài thêm cho đủ bốn mươi ký tự 1"
+
+
 def test_drop_repeated_headers(spark):
     from thuvienphapluat_crawler_spark.operators.enrich import (
         detect_header_row,

@@ -13,7 +13,9 @@ import pytest
 from thuvienphapluat_crawler_spark.sources.pdfdoc import (
     _stream_bytes,
     build_pdf,
+    build_pdf_positioned,
     pages_from_pdfs,
+    parse_pdf_cells,
     parse_pdf_text,
 )
 
@@ -66,6 +68,27 @@ def test_stream_slice_is_binary_safe():
 def test_empty_page_and_empty_doc():
     assert parse_pdf_text(build_pdf([[]])) == [(0, "")]
     assert parse_pdf_text(build_pdf([])) == []
+
+
+CELLS = [
+    [(72.0, 770.0, "PHỤ LỤC (1)"), (72.0, 740.0, "STT"), (200.0, 740.0, "MÃ SỐ"),
+     (72.0, 720.0, "1"), (200.0, 720.0, "M0.1 \\ x")],
+    [(100.5, 600.0, "trang hai")],
+]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_positioned_roundtrip(compress):
+    got = parse_pdf_cells(build_pdf_positioned(CELLS, compress=compress))
+    assert got == [(i, x, y, t) for i, page in enumerate(CELLS) for x, y, t in page]
+
+
+def test_positioned_invisible_to_text_parser_grid():
+    # Tj ops are shared, so the plain text parser sees the same strings
+    # (one per cell) — the two views agree on content, differ on layout.
+    data = build_pdf_positioned(CELLS)
+    texts = [t for _, t in parse_pdf_text(data)]
+    assert texts == ["\n".join(t for _, _, t in page) for page in CELLS]
 
 
 def test_spark_scan(spark):

@@ -68,14 +68,22 @@ def synth_media(spark: SparkSession, docs: DataFrame, bytes_per_item: int = 4096
 
 
 def decode_stub(content: bytes, real_decoders: bool = False) -> tuple[str, int, int]:
-    """STUB decode step → (format, width, height).
+    """Decode step → (format, width, height).
 
-    real_decoders=True is the production path (PIL/ffmpeg/PyMuPDF —
-    not installed in this container)."""
+    PNG payloads are decoded FOR REAL in every mode (sources/pngcodec —
+    stdlib zlib+CRC codec, r03). real_decoders=True is the production
+    path for the remaining formats (JPEG via PIL, video via ffmpeg,
+    PDF rasterization via PyMuPDF — not installed in this container)."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        from .sources.pngcodec import decode_png
+
+        img = decode_png(content)
+        return "png", int(img.shape[1]), int(img.shape[0])
     if real_decoders:
         raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg/PyMuPDF — not in this container; "
-            "the deterministic fake below exercises the identical Spark plumbing"
+            "JPEG/video/PDF-raster decoding requires PIL/ffmpeg/PyMuPDF — not in this "
+            "container; PNG decodes for real above, the deterministic fake below "
+            "exercises the identical Spark plumbing for the rest"
         )
     if content[:4] == b"FAKE":
         return "fake", 64 + content[4], 64 + content[5]

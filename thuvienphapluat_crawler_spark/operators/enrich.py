@@ -176,7 +176,9 @@ def annex_title(
     max_rows=6/min_len=20; format_doc.py:122-129 with limit=12/min_len=40):
     join the non-null cells of the first max_rows rows, collapse
     whitespace, emit only when longer than min_len (else NULL)."""
-    rowtext = F.array_join(F.transform(_nonnull_cells(cells_col), F.trim), " ")
+    # NB: lambda, not bare F.trim — transform() would bind the array index
+    # to trim's optional trimStr param and strip digit chars from cell i.
+    rowtext = F.array_join(F.transform(_nonnull_cells(cells_col), lambda c: F.trim(c)), " ")
     per = rows.filter(F.col(idx_col) < max_rows).select(
         F.col(doc_col), F.col(idx_col).alias("_i"), rowtext.alias("_t")
     ).filter(F.col("_t") != "")

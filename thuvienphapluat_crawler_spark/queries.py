@@ -509,6 +509,75 @@ def politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "robots_filter",
+    f"""
+    WITH fr AS ({_FRONTIER_SQL}),
+    x AS (
+      SELECT doc_id, host,
+             '/van-ban/' || category || '/doc-' || CAST(doc_id AS VARCHAR) || '.aspx' AS path,
+             CAST(doc_id % 7 AS VARCHAR) AS hd, category
+      FROM fr)
+    SELECT doc_id, host, path,
+           CASE WHEN category = 'Thong-tu' THEN starts_with(CAST(doc_id AS VARCHAR), hd)
+                WHEN category = 'Luat' AND CAST(doc_id AS VARCHAR) LIKE '%1' THEN FALSE
+                ELSE TRUE END AS allowed,
+           CASE WHEN category = 'Thong-tu' AND starts_with(CAST(doc_id AS VARCHAR), hd)
+                  THEN '/van-ban/Thong-tu/doc-' || hd
+                WHEN category = 'Thong-tu' THEN '/van-ban/Thong-tu/'
+                WHEN category = 'Luat' AND CAST(doc_id AS VARCHAR) LIKE '%1'
+                  THEN '/van-ban/Luat/doc-*1.aspx$'
+           END AS matched_rule,
+           CAST(1 + (doc_id % 7) % 3 AS DOUBLE) AS crawl_delay
+    FROM x ORDER BY doc_id
+    """,
+)
+def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt rules applied to the frontier (north_rule: politeness
+    scheduler enforcing "crawl-delay and robots.txt rules"; RFC 9309
+    semantics — the reference crawls one known host and never parses
+    robots, so this is the scale-path generalization). Per host a
+    REAL robots.txt text is synthesized (three UA groups: a decoy
+    other-bot Disallow-/, the tvpl-crawler group with Crawl-delay +
+    prefix/wildcard/Allow-override rules, and a '*' fallback that must
+    NOT be selected), parsed by sources/robots.parse_robots inside one
+    mapInPandas over the 7-row host dim, and evaluated against every
+    frontier URL via broadcast join + regexp_like + max_by
+    longest-pattern-wins (tie → Allow). The oracle replays the DECISIONS
+    in closed form — if group selection, wildcard translation, or the
+    specificity order broke, allowed/matched_rule flip and the hash
+    catches it. At 100 TB: rules are a broadcast dim; the frontier side
+    is one groupBy on its own key — no extra shuffle."""
+    from .sources.robots import apply_robots, rules_from_robots_txt
+
+    fr = _frontier_from_documents(spark, sf_dir).select(
+        "doc_id",
+        "host",
+        F.regexp_extract("canonical_url", r"^[a-z]+://[^/]+(/.*)$", 1).alias("path"),
+    )
+    hd = F.regexp_extract("host", r"host(\d+)", 1)
+    robots_txt = fr.select("host").distinct().select(
+        "host",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("# robots.txt for "), F.col("host")),
+            F.lit("User-agent: other-bot"),
+            F.lit("Disallow: /"),
+            F.lit(""),
+            F.lit("User-agent: TVPL-Crawler"),
+            F.concat(F.lit("Crawl-delay: "), (1 + hd.cast("int") % 3).cast("string")),
+            F.lit("Disallow: /van-ban/Thong-tu/"),
+            F.lit("Disallow: /van-ban/Luat/doc-*1.aspx$"),
+            F.concat(F.lit("Allow: /van-ban/Thong-tu/doc-"), hd),
+            F.lit(""),
+            F.lit("User-agent: *"),
+            F.lit("Disallow: /van-ban/"),
+        ).alias("robots_txt"),
+    )
+    rules = rules_from_robots_txt(robots_txt, agent="TVPL-Crawler/1.0 (+https://example.vn)")
+    return apply_robots(fr, rules).orderBy("doc_id")
+
+
+@register(
     "seen_antijoin",
     f"""
     WITH frontier AS ({_FRONTIER_SQL}),
@@ -1866,6 +1935,298 @@ def pdf_real_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id string, page_idx int, flate boolean, page_text string, page_chars int",
         )
         .orderBy("doc_id", "page_idx")
+    )
+
+
+@register(
+    "png_real_features",
+    """
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h FROM documents),
+    grid AS (
+      SELECT d.doc_id, d.w, d.h, x.i AS i, y.j AS j
+      FROM dims d CROSS JOIN range(16) x(i) CROSS JOIN range(24) y(j)
+      WHERE x.i < d.h AND y.j < d.w),
+    sums AS (
+      SELECT doc_id, w, h,
+             CAST(sum((doc_id + 3 * i + 7 * j) % 256) AS BIGINT)     AS r_sum,
+             CAST(sum((2 * doc_id + 5 * i + j) % 256) AS BIGINT)     AS g_sum,
+             CAST(sum((3 * doc_id + i + 11 * j) % 256) AS BIGINT)    AS b_sum
+      FROM grid GROUP BY doc_id, w, h)
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           r_sum, g_sum, b_sum,
+           CAST((doc_id + 3 * ((3 * h) // 4) + 7 * ((3 * w) // 4)) % 256 AS INT) AS br_r,
+           CAST((2 * doc_id + 5 * ((3 * h) // 4) + (3 * w) // 4) % 256 AS INT)   AS br_g,
+           CAST((3 * doc_id + (3 * h) // 4 + 11 * ((3 * w) // 4)) % 256 AS INT)  AS br_b
+    FROM sums ORDER BY doc_id
+    """,
+)
+def png_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/multimodal decode REAL end-to-end (reference: ocr_pdf.py:37-45
+    renders pages to PNG for the VLM tier). Per doc, a deterministic RGB
+    image is rendered from a pixel formula, encode_png writes a
+    spec-valid PNG (row filters cycle None/Sub/Up/Average/Paeth),
+    decode_png inflates + unfilters it back, and ALL output features are
+    computed from the DECODED pixels — channel sums and the
+    nearest-neighbor-resized 4×4 bottom-right pixel — so a codec bug
+    anywhere breaks the hash. The oracle replays the pixel formula in
+    closed form over a generated grid. At 100 TB: binary never shuffles
+    (synth+codec+features inside one mapInPandas), only 9 narrow columns
+    leave the scan stage."""
+    import numpy as np
+
+    from .sources.pngcodec import decode_png, encode_png, resize_nearest
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_and_scan(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % 8, 12 + d % 4
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                img = np.stack(
+                    [
+                        (d + 3 * i + 7 * j) % 256,
+                        (2 * d + 5 * i + j) % 256,
+                        (3 * d + i + 11 * j) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                dec = decode_png(encode_png(img))
+                s = dec.astype(np.int64).sum(axis=(0, 1))
+                br = resize_nearest(dec, 4, 4)[3, 3]
+                rows.append(
+                    (str(d), w, h, int(s[0]), int(s[1]), int(s[2]),
+                     int(br[0]), int(br[1]), int(br[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+                         "br_r", "br_g", "br_b"],
+            )
+
+    return (
+        docs.mapInPandas(
+            synth_and_scan,
+            "doc_id string, width int, height int, r_sum bigint, g_sum bigint, "
+            "b_sum bigint, br_r int, br_g int, br_b int",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docx_real_chunks",
+    """
+    WITH base AS (
+      SELECT doc_id, text, 3 + doc_id % 2 AS n_data,
+             CASE WHEN doc_id % 4 = 0 THEN 'PHỤ LỤC'
+                  ELSE trim(regexp_replace(
+                    'PHỤ LỤC ' || CAST(doc_id % 5 AS VARCHAR) || ' ' || substr(text, 1, 30)
+                    || ' ' || 'Ban hành kèm theo ' || substr(text, 31, 25), '\\s+', ' ', 'g'))
+             END AS joined
+      FROM documents),
+    body AS (
+      SELECT b.doc_id,
+             string_agg('| ' || CAST(t.i AS VARCHAR) || ' | M' || CAST(b.doc_id AS VARCHAR)
+                        || '.' || CAST(t.i AS VARCHAR) || ' | '
+                        || substr(b.text, 1 + 6 * (t.i - 1), 8) || ' |',
+                        chr(10) ORDER BY t.i) AS data_md
+      FROM base b CROSS JOIN range(1, 5) t(i) WHERE t.i <= b.n_data GROUP BY b.doc_id)
+    SELECT CAST(b.doc_id AS VARCHAR) AS doc_id,
+           CASE WHEN length(b.joined) > 40 THEN b.joined END AS annex_title,
+           CAST(0 AS INT) AS header_idx,
+           CAST(b.n_data AS INT) AS n_data_rows,
+           '| STT | MÃ SỐ | Tên thủ tục |' || chr(10) || '|---|---|---|' || chr(10) || body.data_md
+             AS chunk_md
+    FROM base b JOIN body ON b.doc_id = body.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def docx_real_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9's READ path real end-to-end (reference: format_doc.py —
+    python-docx Document().paragraphs/.tables after soffice conversion;
+    the .doc→.docx conversion itself stays the documented environmental
+    stub, sources/docxdoc.convert_doc_to_docx). Per doc, build_docx
+    writes an actual .docx (zip + WordprocessingML: body paragraphs +
+    a w:tbl; every 4th doc gets a too-short paragraph list so the
+    format_doc.py:122-129 length gate FIRES → NULL annex); parse_docx
+    recovers paragraphs and table rows in document order; then the REAL
+    operators run Spark-side: annex_title (limit 12 / min_len 40 — the
+    format_doc variant), detect_header_row (STT/MÃ markers), and the
+    write_chunk markdown rendering (format_doc.py:135-146: header line,
+    `|---|` separator row, data lines). At 100 TB: one mapInPandas scan,
+    one agg per doc, broadcast header join — no cross-doc shuffle beyond
+    the doc_id hash."""
+    from .operators.enrich import annex_title, detect_header_row
+    from .sources.docxdoc import build_docx, parse_docx
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth_and_scan(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d, t = int(doc_id), str(text)
+                if d % 4 == 0:
+                    paras: list = ["PHỤ LỤC"]
+                else:
+                    paras = [f"PHỤ LỤC {d % 5}", t[:30], f"Ban hành kèm theo {t[30:55]}"]
+                table = [["STT", "MÃ SỐ", "Tên thủ tục"]] + [
+                    [str(j), f"M{d}.{j}", t[6 * (j - 1) : 6 * (j - 1) + 8]]
+                    for j in range(1, 4 + d % 2)
+                ]
+                blob = build_docx([*paras, table])
+                ps, tbls = parse_docx(blob)
+                for i, p in enumerate(ps):
+                    out.append((str(d), "p", i, [p]))
+                for tbl in tbls:
+                    for i, row in enumerate(tbl):
+                        out.append((str(d), "t", i, row))
+            yield pd.DataFrame(out, columns=["doc_id", "src", "row_idx", "cells"])
+
+    rows = docs.mapInPandas(
+        synth_and_scan, "doc_id string, src string, row_idx int, cells array<string>"
+    ).localCheckpoint()  # 3 consumers (annex, header, markdown): parse once
+    annex = annex_title(rows.filter(F.col("src") == "p"), max_rows=12, min_len=40)
+    trows = rows.filter(F.col("src") == "t")
+    hdr = detect_header_row(trows, markers=("STT", "MÃ"))
+    line = F.concat(F.lit("| "), F.array_join("cells", " | "), F.lit(" |"))
+    md = (
+        trows.join(hdr.hint("broadcast"), "doc_id")
+        .select("doc_id", "row_idx", "header_idx", line.alias("line"), F.size("cells").alias("nc"))
+        .groupBy("doc_id", "header_idx")
+        .agg(
+            F.max(F.when(F.col("row_idx") == F.col("header_idx"), F.col("line"))).alias("hline"),
+            F.max(F.when(F.col("row_idx") == F.col("header_idx"), F.col("nc"))).alias("ncols"),
+            F.sum(F.when(F.col("row_idx") > F.col("header_idx"), 1).otherwise(0)).alias("n_data"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("row_idx") > F.col("header_idx"),
+                                F.struct("row_idx", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("data_md"),
+        )
+    )
+    sep = F.concat(F.lit("|"), F.expr("repeat('---|', ncols)"))
+    return (
+        md.join(annex.hint("broadcast"), "doc_id")
+        .select(
+            "doc_id",
+            "annex_title",
+            F.col("header_idx").cast("int").alias("header_idx"),
+            F.col("n_data").cast("int").alias("n_data_rows"),
+            F.concat_ws("\n", F.col("hline"), sep, F.col("data_md")).alias("chunk_md"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pdf_table_extract",
+    """
+    WITH r AS (
+      SELECT d.doc_id, d.text, CAST(t.i AS INT) AS row_idx
+      FROM documents d CROSS JOIN range(9) t(i)
+      WHERE t.i < 6 + d.doc_id % 3
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, row_idx,
+           CAST(1 AS INT) AS header_idx,
+           CAST(CASE WHEN row_idx = 0 THEN 1 ELSE 3 END AS INT) AS n_cells,
+           CASE
+             WHEN row_idx = 0 THEN '| PHỤ LỤC ' || CAST(doc_id % 5 AS VARCHAR) || ' |'
+             WHEN row_idx = 1 THEN '| STT | MÃ SỐ | Tên thủ tục |'
+             ELSE '| ' || CAST(row_idx - 1 AS VARCHAR) || ' | M' || CAST(doc_id AS VARCHAR)
+                  || '.' || CAST(row_idx - 1 AS VARCHAR) || ' | '
+                  || substr(text, 1 + 8 * (row_idx - 2), 10) || ' |'
+           END AS line
+    FROM r ORDER BY doc_id, row_idx
+    """,
+)
+def pdf_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 with GEOMETRIC extraction real end-to-end (reference:
+    ocr/extract_tables.py:68-74 — pdfplumber's borderless
+    vertical/horizontal_strategy='text', which reconstructs a table from
+    word positions alone). Per doc, build_pdf_positioned writes an actual
+    PDF whose cells are absolutely-positioned `x y Td` text ops (a title
+    row, an STT header row, 4 + doc_id%3 data rows on a 3-column grid;
+    odd docs Flate-compressed); parse_pdf_cells recovers (x, y, text)
+    words; then the TABLE STRUCTURE is rebuilt Spark-side, not in the
+    UDF: dense_rank over y DESC → row index, dense_rank over x ASC →
+    column index, collect_list per row → cells array — the same
+    clustering pdfplumber does, as two window functions Catalyst can
+    plan. The recovered rows then flow through the REAL W4 3-tier header
+    detection (enrich.detect_header_row: the STT marker tier fires on
+    the extracted cells, header_idx=1 is detected, not stated) and the
+    S7 markdown rendering. At 100 TB: one mapInPandas scan, two windows
+    and one agg all partitioned by (doc, page) — no driver work, no
+    cross-doc shuffle beyond the hash on doc_id."""
+    from .operators.enrich import detect_header_row
+    from .sources.pdfdoc import build_pdf_positioned, parse_pdf_cells
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth_and_scan(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d, t = int(doc_id), str(text)
+                cells = [(72.0, 770.0, f"PHỤ LỤC {d % 5}")]
+                for cx, h in zip((72.0, 200.0, 330.0), ("STT", "MÃ SỐ", "Tên thủ tục")):
+                    cells.append((cx, 740.0, h))
+                for j in range(1, 5 + d % 3):
+                    y = 720.0 - 20.0 * (j - 1)
+                    row = (str(j), f"M{d}.{j}", t[8 * (j - 1) : 8 * (j - 1) + 10])
+                    cells.extend((cx, y, v) for cx, v in zip((72.0, 200.0, 330.0), row))
+                data = build_pdf_positioned([cells], compress=(d % 2 == 1))
+                for pg, x, y, cell in parse_pdf_cells(data):
+                    rows.append((str(d), pg, x, y, cell))
+            yield pd.DataFrame(rows, columns=["doc_id", "page_idx", "x", "y", "cell"])
+
+    words = docs.mapInPandas(
+        synth_and_scan, "doc_id string, page_idx int, x double, y double, cell string"
+    )
+    pg = Window.partitionBy("doc_id", "page_idx")
+    placed = words.select(
+        "doc_id",
+        "cell",
+        (F.dense_rank().over(pg.orderBy(F.desc("y"))) - 1).alias("row_idx"),
+        (F.dense_rank().over(pg.orderBy(F.asc("x"))) - 1).alias("col_idx"),
+    )
+    tab = placed.groupBy("doc_id", "row_idx").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("col_idx", "cell"))), lambda s: s["cell"]
+        ).alias("cells")
+    ).localCheckpoint()  # 2 consumers (hdr + output join): don't re-run the parse
+    hdr = detect_header_row(tab, markers=("STT", "MÃ"))
+    return (
+        tab.join(hdr.hint("broadcast"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("row_idx").cast("int").alias("row_idx"),
+            F.col("header_idx").cast("int").alias("header_idx"),
+            F.size("cells").cast("int").alias("n_cells"),
+            F.concat(F.lit("| "), F.array_join("cells", " | "), F.lit(" |")).alias("line"),
+        )
+        .orderBy("doc_id", "row_idx")
     )
 
 

@@ -61,6 +61,36 @@ def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
     UTF-8 inside the string literal (we read it back ourselves; a
     viewer would want a CID font — irrelevant to the text-layer test).
     Deterministic bytes for identical input."""
+    streams = []
+    for lines in pages:
+        parts = ["BT /F1 12 Tf 14 TL 72 760 Td"]
+        for j, line in enumerate(lines):
+            if j:
+                parts.append("T*")
+            parts.append(f"({_esc_pdf(line)}) Tj")
+        parts.append("ET")
+        streams.append(" ".join(parts).encode("utf-8"))
+    return _assemble_pdf(streams, compress)
+
+
+def build_pdf_positioned(
+    pages: list[list[tuple[float, float, str]]], compress: bool = False
+) -> bytes:
+    """Positioned-text PDF: each cell its own `BT x y Td (…) Tj ET` at an
+    absolute page coordinate — the layout class pdfplumber's borderless
+    'text' strategy reconstructs tables from (reference:
+    ocr/extract_tables.py:68-74 vertical/horizontal_strategy='text')."""
+    streams = []
+    for cells in pages:
+        parts = [
+            f"BT /F1 10 Tf {x:g} {y:g} Td ({_esc_pdf(t)}) Tj ET" for x, y, t in cells
+        ]
+        streams.append(" ".join(parts).encode("utf-8"))
+    return _assemble_pdf(streams, compress)
+
+
+def _assemble_pdf(page_streams: list[bytes], compress: bool) -> bytes:
+    """Object graph + xref writer shared by both builders."""
     objs: list[bytes] = []  # 1-indexed
 
     def add(body: bytes) -> int:
@@ -69,14 +99,7 @@ def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
 
     font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     page_ids: list[tuple[int, int]] = []
-    for lines in pages:
-        parts = ["BT /F1 12 Tf 14 TL 72 760 Td"]
-        for j, line in enumerate(lines):
-            if j:
-                parts.append("T*")
-            parts.append(f"({_esc_pdf(line)}) Tj")
-        parts.append("ET")
-        stream = " ".join(parts).encode("utf-8")
+    for stream in page_streams:
         filt = b""
         if compress:
             stream = zlib.compress(stream, 6)
@@ -140,12 +163,12 @@ _TEXT_OP_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj|\[((?:[^\]\\]|\\.)*)\]\s
 _STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
 
 
-def parse_pdf_text(data: bytes) -> list[tuple[int, str]]:
-    """(page_idx, text) per page, in pages-tree order. Follows
-    Catalog→Pages→Kids→Contents and reads Tj/TJ string operands from
-    plain or /FlateDecode content streams (stdlib zlib); any other
-    /Filter raises NotImplementedError (the honest boundary — LZW/
-    JBIG2/CCITT need a real decoder, the container has none)."""
+def _page_stream_bytes(data: bytes) -> list[bytes]:
+    """Decompressed content-stream bytes per page, in pages-tree order.
+    Follows Catalog→Pages→Kids→Contents; /FlateDecode inflated via
+    stdlib zlib; any other /Filter raises NotImplementedError (the
+    honest boundary — LZW/JBIG2/CCITT need a real decoder, the
+    container has none)."""
     objs: dict[int, bytes] = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
 
     def ref(body: bytes, key: bytes) -> int | None:
@@ -162,25 +185,56 @@ def parse_pdf_text(data: bytes) -> list[tuple[int, str]]:
     kids_m = re.search(rb"/Kids\s*\[(.*?)\]", objs[root], re.S)
     kids = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", kids_m.group(1))]
 
-    out: list[tuple[int, str]] = []
-    for idx, kid in enumerate(kids):
+    out: list[bytes] = []
+    for kid in kids:
         cont = ref(objs[kid], rb"/Contents")
         body = objs[cont]
         raw = _stream_bytes(body)
+        if raw is None:
+            raw = b""
+        elif b"/Filter" in body:
+            if b"/FlateDecode" not in body:
+                raise NotImplementedError("unsupported PDF stream filter (only FlateDecode)")
+            raw = zlib.decompress(raw)
+        out.append(raw)
+    return out
+
+
+def parse_pdf_text(data: bytes) -> list[tuple[int, str]]:
+    """(page_idx, text) per page, in pages-tree order: Tj/TJ string
+    operands, one text line each."""
+    out: list[tuple[int, str]] = []
+    for idx, raw in enumerate(_page_stream_bytes(data)):
         lines: list[str] = []
-        if raw is not None:
-            if b"/Filter" in body:
-                if b"/FlateDecode" not in body:
-                    raise NotImplementedError("unsupported PDF stream filter (only FlateDecode)")
-                raw = zlib.decompress(raw)
-            for m in _TEXT_OP_RE.finditer(raw):
-                if m.group(1) is not None:
-                    lines.append(_unesc_pdf(m.group(1).decode("utf-8")))
-                else:  # TJ array: concatenate its string elements
-                    lines.append(
-                        "".join(_unesc_pdf(s.decode("utf-8")) for s in _STR_RE.findall(m.group(2)))
-                    )
+        for m in _TEXT_OP_RE.finditer(raw):
+            if m.group(1) is not None:
+                lines.append(_unesc_pdf(m.group(1).decode("utf-8")))
+            else:  # TJ array: concatenate its string elements
+                lines.append(
+                    "".join(_unesc_pdf(s.decode("utf-8")) for s in _STR_RE.findall(m.group(2)))
+                )
         out.append((idx, "\n".join(lines)))
+    return out
+
+
+_CELL_RE = re.compile(
+    rb"BT\s+/F\d+\s+[\d.]+\s+Tf\s+([\d.+-]+)\s+([\d.+-]+)\s+Td\s*"
+    rb"\(((?:[^()\\]|\\.)*)\)\s*Tj\s*ET"
+)
+
+
+def parse_pdf_cells(data: bytes) -> list[tuple[int, float, float, str]]:
+    """(page_idx, x, y, text) per positioned text cell — the word-level
+    layout a geometric table extractor consumes. Reads single-Td BT/ET
+    blocks (what build_pdf_positioned emits and what simple generators
+    produce); the clustering into rows/columns happens Spark-side
+    (queries.pdf_table_extract), mirroring pdfplumber's 'text' strategy."""
+    out: list[tuple[int, float, float, str]] = []
+    for idx, raw in enumerate(_page_stream_bytes(data)):
+        for m in _CELL_RE.finditer(raw):
+            out.append(
+                (idx, float(m.group(1)), float(m.group(2)), _unesc_pdf(m.group(3).decode("utf-8")))
+            )
     return out
 
 
