@@ -30,6 +30,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fanout(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a small single-file scan across all cores before a
+    CPU-heavy mapInPandas stage (the codec queries). A test-SF
+    documents.parquet arrives as 1-2 input splits, which would serialize
+    the Python codec work; at warehouse scale the input already has
+    thousands of splits and the repartition is a no-op-sized shuffle of
+    (doc_id, text) — never of binary payloads."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -1760,7 +1770,7 @@ def workbook_sheet_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.enrich import detect_header_row
     from .sources.workbook import GS, RS, US, sheets_from_workbooks
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     base = docs.select(
         "doc_id", "text",
         (F.lit(5) + F.col("doc_id") % 4).alias("n1"),
@@ -1830,7 +1840,7 @@ def xlsx_real_sheets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.enrich import detect_header_row
     from .sources.workbook import SHEET_ROW_SCHEMA, build_xlsx, parse_xlsx_bytes
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
 
     def synth_and_scan(it):
         import pandas as pd
@@ -1908,7 +1918,7 @@ def pdf_real_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     form. Replaces the r02 'pdf text-layer decode stubbed' caveat."""
     from .sources.pdfdoc import build_pdf, parse_pdf_text
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
 
     def synth_and_scan(it):
         import pandas as pd
@@ -1978,7 +1988,7 @@ def png_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources.pngcodec import decode_png, encode_png, resize_nearest
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id"), spark)
 
     def synth_and_scan(it):
         import pandas as pd
@@ -2067,7 +2077,7 @@ def docx_real_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.enrich import annex_title, detect_header_row
     from .sources.docxdoc import build_docx, parse_docx
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
 
     def synth_and_scan(it):
         import pandas as pd
@@ -2180,7 +2190,7 @@ def pdf_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.enrich import detect_header_row
     from .sources.pdfdoc import build_pdf_positioned, parse_pdf_cells
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
 
     def synth_and_scan(it):
         import pandas as pd
