@@ -24,7 +24,12 @@ class OracleResult:
     docs: dict[str, list[tuple]] = field(default_factory=dict)
 
 
-def crawl(world: SW.World, seeds_per_host: int = 2, max_epochs: int | None = None) -> OracleResult:
+def crawl(
+    world: SW.World,
+    seeds_per_host: int = 2,
+    max_epochs: int | None = None,
+    robots: bool = False,
+) -> OracleResult:
     max_epochs = max_epochs or world.max_epochs
     res = OracleResult()
 
@@ -36,7 +41,9 @@ def crawl(world: SW.World, seeds_per_host: int = 2, max_epochs: int | None = Non
 
     for epoch in range(1, max_epochs + 1):
         pending = [
-            (u, d, de) for u, (d, de) in frontier.items() if u not in fetched and de <= epoch
+            (u, d, de)
+            for u, (d, de) in frontier.items()
+            if u not in fetched and de <= epoch and (not robots or SW.robots_allowed(u))
         ]
         if not pending:
             break
@@ -51,7 +58,12 @@ def crawl(world: SW.World, seeds_per_host: int = 2, max_epochs: int | None = Non
             entries = by_host[host]
             entries.sort(key=lambda t: (SW.category_priority(SW.parse_url_parts(t[0])[1]), t[1], SW.url_fp(t[0])))
             h_idx = int(host[4:7])
-            delay = SW.crawl_delay(h_idx)
+            if robots:  # delay read FROM the robots.txt text, as the engine does
+                from ..sources.robots import parse_robots
+
+                delay = parse_robots(SW.host_robots_txt(h_idx), SW.ROBOTS_AGENT)["crawl_delay"]
+            else:
+                delay = SW.crawl_delay(h_idx)
             cookie = SW.host_cookie_header(h_idx)
             for rank, (u, d) in enumerate(entries[: world.budget_per_host], start=1):
                 status, attempts = SW.fetch_attempts(u)

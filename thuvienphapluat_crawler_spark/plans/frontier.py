@@ -84,6 +84,7 @@ class CrawlEngine:
         seeds_per_host: int = 2,
         filter_kind: str = "bloom",
         content: str = "spans",
+        robots: bool = False,
     ):
         self.spark = spark
         self.world = world
@@ -91,6 +92,12 @@ class CrawlEngine:
         self.n_buckets = n_buckets
         self.seeds_per_host = seeds_per_host
         self.filter_kind = filter_kind  # 'bloom' | 'cuckoo' (same interface)
+        # robots=True: per-host robots.txt TEXT is parsed (sources/robots)
+        # into a broadcast rule dim; disallowed URLs are filtered out of
+        # every epoch's batch BEFORE ranking, and the fetch stage takes
+        # its crawl-delay FROM the parsed Crawl-delay line (north_rule:
+        # politeness enforces "crawl-delay and robots.txt rules").
+        self.robots = robots
         # 'spans': fetch emits pre-structured spans (synthetic shortcut);
         # 'html': fetch emits RAW HTML and the extract stage is the real
         # DOM pipeline (sources/html_parse.py — parse, tooltip/footnote
@@ -139,6 +146,20 @@ class CrawlEngine:
         ]
         return self.spark.createDataFrame(rows or [("", "")], "host string, cookie_header string")
 
+    def _robots_rules(self) -> DataFrame:
+        """Broadcast rule dimension: each host's robots.txt TEXT parsed by
+        the real RFC 9309 parser inside one mapInPandas (sources/robots).
+        Tiny (hosts × ~2 rules) — cached on first use."""
+        if getattr(self, "_robots_rules_df", None) is None:
+            from ..sources.robots import rules_from_robots_txt
+
+            txt = self.spark.createDataFrame(
+                [(SW.host_name(h), SW.host_robots_txt(h)) for h in range(self.world.n_hosts)],
+                "host string, robots_txt string",
+            )
+            self._robots_rules_df = rules_from_robots_txt(txt, agent=SW.ROBOTS_AGENT).localCheckpoint()
+        return self._robots_rules_df
+
     # -- pandas-UDF stages ------------------------------------------------
 
     def _fetch_group_fn(self, epoch: int):
@@ -150,7 +171,11 @@ class CrawlEngine:
             # schedule is deterministic and benchable.
             pdf = pdf.sort_values("rank").reset_index(drop=True)
             h_idx, _, _ = SW.parse_url_parts(pdf["canonical_url"].iloc[0])
-            delay = SW.crawl_delay(h_idx)
+            if "robots_delay" in pdf.columns:  # robots mode: delay comes
+                delay = float(pdf["robots_delay"].iloc[0])  # from robots.txt
+                pdf = pdf.drop(columns=["robots_delay"])
+            else:
+                delay = SW.crawl_delay(h_idx)
             pdf["fetch_slot"] = (pdf["rank"] - 1).astype("float64") * delay
             outcomes = [SW.fetch_attempts(u) for u in pdf["canonical_url"]]
             pdf["status"] = [o[0] for o in outcomes]
@@ -261,6 +286,22 @@ class CrawlEngine:
 
         pending = frontier.join(log.select("canonical_url"), "canonical_url", "left_anti")
         eligible = pending.filter(F.col("discovered_epoch") <= epoch)
+        n_blocked = 0
+        if self.robots:
+            from ..sources.robots import apply_robots
+
+            el = apply_robots(
+                eligible.withColumn(
+                    "path", F.regexp_extract("canonical_url", r"^[a-z]+://[^/]+(/.*)$", 1)
+                ),
+                self._robots_rules(),
+            ).localCheckpoint()  # 2 consumers: blocked tally + allowed batch
+            n_blocked = el.filter(~F.col("allowed")).count()
+            eligible = (
+                el.filter(F.col("allowed"))
+                .withColumnRenamed("crawl_delay", "robots_delay")
+                .drop("path", "allowed", "matched_rule")
+            )
         w = Window.partitionBy("host").orderBy("category_priority", "depth", "url_fp")
         batch = (
             eligible.withColumn("rank", F.row_number().over(w))
@@ -355,7 +396,7 @@ class CrawlEngine:
         wh.commit_epoch(
             epoch,
             ["crawl_log", "docs", "frontier", "checkpoints"],
-            lineage={"n_ranked": n_ranked},
+            lineage={"n_ranked": n_ranked, "n_robots_blocked": n_blocked},
         )
         return True
 

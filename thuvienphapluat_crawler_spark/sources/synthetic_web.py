@@ -94,6 +94,45 @@ def host_cookie_header(h: int) -> str:
     return f"session=tvpl{h:03d}; lang=vi"
 
 
+ROBOTS_AGENT = "tvpl-crawler"
+
+
+def host_robots_txt(h: int) -> str:
+    """Per-host robots.txt TEXT (north_rule: politeness enforces
+    "crawl-delay and robots.txt rules"). Crawl-delay == crawl_delay(h) —
+    one source of truth, the engine reads it FROM this text in robots
+    mode. Deterministic rules: h%3==0 blocks the Nghi-quyet category,
+    h%3==1 blocks doc numbers ending in 7 (wildcard + '$' anchor),
+    h%3==2 has no path rules. A decoy group and a '*' fallback exercise
+    RFC 9309 group selection end-to-end."""
+    lines = [
+        f"# robots.txt for {host_name(h)}",
+        "User-agent: other-bot",
+        "Disallow: /",
+        "",
+        f"User-agent: {ROBOTS_AGENT}",
+        f"Crawl-delay: {crawl_delay(h):g}",
+    ]
+    if h % 3 == 0:
+        lines.append("Disallow: /van-ban/Nghi-quyet/")
+    elif h % 3 == 1:
+        lines.append("Disallow: /van-ban/*/doc-*7.aspx$")
+    lines += ["", "User-agent: *", "Disallow: /van-ban/"]
+    return "\n".join(lines)
+
+
+def robots_allowed(url: str) -> bool:
+    """Oracle-side robots decision for a synthetic-world URL (the engine
+    evaluates the same rules distributed via robots.apply_robots; the
+    two paths are cross-checked by tests/test_robots.py)."""
+    from .robots import decide, parse_robots
+
+    h, _, _ = parse_url_parts(url)
+    path = "/" + url.split("/", 3)[3]
+    rules = parse_robots(host_robots_txt(h), ROBOTS_AGENT)["rules"]
+    return decide(rules, path)[0]
+
+
 def host_cookie_file_lines(n_hosts: int) -> list[str]:
     """The same cookie dimension in Netscape cookies.txt form (7-col TSV,
     crawler.py:9-47) — what a real deployment would feed the S1 scan;
