@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "spans_roundtrip_stats",
     "dedup_exact",
     "docs_fingerprint",
+    "docs_rolling_fp",  # Karp-Rabin full + rolling min-8gram + BPE-ish tokens (r03)
     "docs_quality",
     "docs_lang_id",
     "docs_minhash_sigs",

@@ -217,3 +217,52 @@ def test_new_paragraph_patterns(spark):
         assert res[s], f"should match: {s}"
     for s in negatives:
         assert not res[s], f"should NOT match: {s}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=60))
+def test_rolling_kgram_hash_equals_naive(s):
+    # property: the O(n) rolling update (push c_i, evict c_{i-K}) equals
+    # hashing every window from scratch — checked in pure Python with the
+    # same (B, M, K); the Spark expr is gated by the docs_rolling_fp oracle.
+    from thuvienphapluat_crawler_spark.operators.textstats import ROLL_B, ROLL_K, ROLL_M
+
+    naive = [
+        sum(ord(c) * pow(ROLL_B, ROLL_K - 1 - j, ROLL_M) for j, c in enumerate(s[i : i + ROLL_K]))
+        % ROLL_M
+        for i in range(len(s) - ROLL_K + 1)
+    ]
+    win, rolled = 0, []
+    BK = pow(ROLL_B, ROLL_K, ROLL_M)
+    for i, c in enumerate(s):
+        win = (win * ROLL_B + ord(c) - (ord(s[i - ROLL_K]) * BK if i >= ROLL_K else 0)) % ROLL_M
+        if i >= ROLL_K - 1:
+            rolled.append(win)
+    assert rolled == naive
+
+
+def test_rolling_fp_spark_matches_python(spark):
+    from thuvienphapluat_crawler_spark.operators import textstats as X
+
+    texts = ["the quick brown fox jumps", "aaaaaaaaaa", "short", "x (1) \\ y [2] z!"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    got = {
+        r.doc_id: (r.h, r.mn)
+        for r in df.select(
+            "doc_id",
+            X.rolling_hash_full("text").alias("h"),
+            X.min_kgram_rolling("text").alias("mn"),
+        ).collect()
+    }
+    for i, s in enumerate(texts):
+        h = 0
+        for c in s:
+            h = (h * X.ROLL_B + ord(c)) % X.ROLL_M
+        wins = []
+        win = 0
+        BK = pow(X.ROLL_B, X.ROLL_K, X.ROLL_M)
+        for j, c in enumerate(s):
+            win = (win * X.ROLL_B + ord(c) - (ord(s[j - X.ROLL_K]) * BK if j >= X.ROLL_K else 0)) % X.ROLL_M
+            if j >= X.ROLL_K - 1:
+                wins.append(win)
+        assert got[i] == (h, min(wins) if wins else None), s

@@ -88,3 +88,55 @@ def lang_id_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, F.col(f"score_{lang}")).otherwise(best_score)
     return out.withColumn("lang_pred", best)
+
+
+# --- rolling-hash fingerprinting + BPE-ish token counting ------------------
+# (brief: "token counting (whitespace + a BPE-ish regex), document
+# fingerprinting (rolling hash)"; the md5 doc_fingerprint above is the
+# exact-dedup key — this is the content-sensitive Karp-Rabin family.)
+
+ROLL_B, ROLL_M, ROLL_K = 131, 1_000_000_007, 8
+_LMAX = 9223372036854775807
+
+# GPT-2-style pre-tokenizer classes WITHOUT the space-prefix idiom: the
+# three alternatives are disjoint, so Java (leftmost-first) and RE2
+# (leftmost-longest) tokenize identically — oracle-safe by construction.
+BPE_ISH_PATTERN = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit("(" + BPE_ISH_PATTERN + ")"), 1)).cast("bigint")
+
+
+def rolling_hash_full(text_col: str = "text") -> Column:
+    """Karp-Rabin polynomial hash of the whole text: one O(n) fold,
+    (acc*B + code) mod M per char — pure column expression, JVM-side."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({text_col})), "
+        f"i -> CAST(ascii(substr({text_col}, i, 1)) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, c) -> (acc * {ROLL_B} + c) % {ROLL_M})"
+    )
+
+
+def min_kgram_rolling(text_col: str = "text") -> Column:
+    """Winnowing-style fingerprint: min over all K-char window hashes,
+    computed by a TRUE rolling update — the aggregate's struct
+    accumulator pushes char i and evicts char i-K each step
+    (win' = win*B + c_in - c_out*B^K mod M), O(n) total, never
+    re-hashing a window from scratch. NULL when the text is shorter
+    than K. The DuckDB oracle recomputes every window hash DIRECTLY
+    from its 8 chars (congruent mod M) — same value, independent
+    algorithm."""
+    BK = pow(ROLL_B, ROLL_K, ROLL_M)
+    c_in = f"CAST(ascii(substr({text_col}, i, 1)) AS BIGINT)"
+    c_out = f"CAST(ascii(substr({text_col}, i - {ROLL_K}, 1)) AS BIGINT)"
+    win = (
+        f"pmod(acc.win * {ROLL_B} + {c_in} - IF(i > {ROLL_K}, {c_out} * {BK}, CAST(0 AS BIGINT)), {ROLL_M})"
+    )
+    return F.expr(
+        f"aggregate(sequence(1, length({text_col})), "
+        f"named_struct('win', CAST(0 AS BIGINT), 'mn', CAST({_LMAX} AS BIGINT)), "
+        f"(acc, i) -> named_struct('win', {win}, "
+        f"'mn', IF(i >= {ROLL_K}, least(acc.mn, {win}), acc.mn)), "
+        f"acc -> IF(acc.mn = {_LMAX}, CAST(NULL AS BIGINT), acc.mn))"
+    )

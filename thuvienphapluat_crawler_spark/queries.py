@@ -788,6 +788,55 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.quality_columns(docs).drop("text").orderBy("doc_id")
 
 
+def _rolling_fp_oracle() -> str:
+    from .operators.textstats import BPE_ISH_PATTERN, ROLL_B, ROLL_K, ROLL_M
+
+    powers = [pow(ROLL_B, ROLL_K - 1 - j, ROLL_M) for j in range(ROLL_K)]
+    window = " + ".join(
+        f"CAST(ascii(substr(text, i + {j}, 1)) AS BIGINT) * {p}" for j, p in enumerate(powers)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, text, {_WS_SQL} AS ws FROM documents)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                 i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+             (a, c) -> (a * {ROLL_B} + c) % {ROLL_M}) AS h_full,
+           list_min(list_transform(range(1, length(text) - {ROLL_K - 2}),
+             i -> ({window}) % {ROLL_M})) AS min_8gram
+    FROM t ORDER BY doc_id
+    """
+
+
+@register("docs_rolling_fp", _rolling_fp_oracle())
+def docs_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting + BPE-ish token counting
+    (brief: training-data text analysis; generalizes the reference's
+    whole-doc hashing). h_full is a Karp-Rabin fold over the text;
+    min_8gram is the winnowing-style min over ALL 8-char window hashes
+    computed by a TRUE O(n) rolling update (push c_i, evict c_{i-K} —
+    operators/textstats.min_kgram_rolling), entirely JVM-side column
+    expressions. The oracle recomputes every window hash directly from
+    its 8 characters — congruent mod M, so the value matches while the
+    algorithm is independent. n_bpe_tokens uses disjoint GPT-2-style
+    pre-tokenizer classes (letters/digits/other runs), chosen so Java
+    leftmost-first and RE2 leftmost-longest tokenize identically."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(X.tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+            X.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+            X.rolling_hash_full("text").alias("h_full"),
+            X.min_kgram_rolling("text").alias("min_8gram"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _lang_id_oracle() -> str:
     score_cols = []
     for lang, markers in X.LANG_MARKERS.items():
