@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "ocr_cost_summary",
     "upload_statuses",  # foreachPartition spool sink incl. write+readback
     "lsh_bucket_stats",
+    "streaming_politeness",  # stateful streaming scheduler (r03)
     "docs_paragraph_merge",
     "docs_paragraph_merge_exact",
     "emb_knn_bruteforce",

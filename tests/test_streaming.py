@@ -45,3 +45,53 @@ def test_watermark_append_is_prefix_of_batch(spark):
     assert got_set <= batch_set
     assert len(got_set) < len(batch_set)  # trailing windows never closed
     assert len(got_set) > 0
+
+
+def test_streaming_politeness_contiguous_across_batches(spark, tmp_path):
+    # Two parquet files + maxFilesPerTrigger=1 → two micro-batches. Slots
+    # must stay contiguous per host (state carries the counter), and every
+    # doc appears exactly once.
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from thuvienphapluat_crawler_spark.queries import _frontier_cols_from_docs
+    from thuvienphapluat_crawler_spark.streaming.events import DOCS_SCHEMA
+    from thuvienphapluat_crawler_spark.streaming.politeness import (
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        _schedule_group,
+    )
+
+    rows = [(d, f"t{d}", "en", "s", 10) for d in range(40)]
+    src = str(tmp_path / "docs_stream")
+    spark.createDataFrame(rows[:20], DOCS_SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[20:], DOCS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    name = f"polite_t_{uuid.uuid4().hex[:8]}"
+    docs = spark.readStream.schema(DOCS_SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    fr = _frontier_cols_from_docs(docs).withColumn("url_fp", F.md5("canonical_url"))
+    out = fr.groupBy("host").applyInPandasWithState(
+        _schedule_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name).collect()
+    assert sorted(r.doc_id for r in got) == list(range(40))
+    by_host: dict[str, list] = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r)
+    for host, rs in by_host.items():
+        delay = 1.0 + (int(host.removeprefix("host")) % 3)
+        ranks = sorted(r.rnk for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), host  # contiguous, no gaps
+        for r in rs:
+            assert r.fetch_slot_s == round((r.rnk - 1) * delay, 1)

@@ -417,7 +417,12 @@ def _frontier_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a frontier-shaped DataFrame from the documents table, routing
     the raw URL through the engine's real canonicalize_url (messy input:
     uppercase scheme/host, default port, fragment)."""
-    docs = load(spark, sf_dir, "documents")
+    return _frontier_cols_from_docs(load(spark, sf_dir, "documents"))
+
+
+def _frontier_cols_from_docs(docs: DataFrame) -> DataFrame:
+    """Pure-column frontier derivation — works on batch AND streaming
+    DataFrames (streaming/politeness.py reuses it on a readStream)."""
     category = F.lit(None).cast("string")
     for lang, cat in _LANG_TO_CATEGORY.items():
         category = F.when(F.col("lang") == lang, cat).otherwise(category)
@@ -2684,6 +2689,32 @@ def streaming_seen_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import streaming_seen_dedup
 
     return streaming_seen_dedup(spark, sf_dir)
+
+
+@register(
+    "streaming_politeness",
+    f"""
+    WITH ranked AS (
+      SELECT host, doc_id,
+             row_number() OVER (PARTITION BY host
+                 ORDER BY category_priority, depth, md5(canonical_url)) AS rnk,
+             1.0 + (CAST(doc_id % 7 AS INT) % 3) AS crawl_delay
+      FROM ({_FRONTIER_SQL}))
+    SELECT host, doc_id, rnk, round((rnk - 1) * crawl_delay, 1) AS fetch_slot_s
+    FROM ranked ORDER BY host, rnk
+    """,
+)
+def streaming_politeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness scheduler as a CUSTOM STATEFUL STREAMING operator
+    (applyInPandasWithState; streaming/politeness.py): per-host state is
+    one counter, the k-th URL a host ever sees gets slot
+    (k-1)·crawl_delay — contiguous across micro-batches. Oracle is the
+    batch politeness_schedule row_number plan (exact on the single-file
+    test source; on a live stream the schedule is arrival-ordered across
+    batches, which is the honest online semantics)."""
+    from .streaming.politeness import politeness_stream
+
+    return politeness_stream(spark, sf_dir).orderBy("host", "rnk")
 
 
 _MEDIA_ITEMS_SQL = f"""
