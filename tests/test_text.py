@@ -244,15 +244,17 @@ def test_rolling_kgram_hash_equals_naive(s):
 def test_rolling_fp_spark_matches_python(spark):
     from thuvienphapluat_crawler_spark.operators import textstats as X
 
-    texts = ["the quick brown fox jumps", "aaaaaaaaaa", "short", "x (1) \\ y [2] z!"]
+    texts = ["the quick brown fox jumps", "aaaaaaaaaa", "short", "x (1) \\ y [2] z!", ""]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
     got = {
         r.doc_id: (r.h, r.mn)
-        for r in df.select(
+        for r in df.withColumn("_codes", X.char_codes("text"))
+        .select(
             "doc_id",
-            X.rolling_hash_full("text").alias("h"),
-            X.min_kgram_rolling("text").alias("mn"),
-        ).collect()
+            X.rolling_hash_full("_codes").alias("h"),
+            X.min_kgram_rolling("_codes").alias("mn"),
+        )
+        .collect()
     }
     for i, s in enumerate(texts):
         h = 0

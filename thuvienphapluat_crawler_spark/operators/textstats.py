@@ -108,33 +108,50 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit("(" + BPE_ISH_PATTERN + ")"), 1)).cast("bigint")
 
 
-def rolling_hash_full(text_col: str = "text") -> Column:
-    """Karp-Rabin polynomial hash of the whole text: one O(n) fold,
-    (acc*B + code) mod M per char — pure column expression, JVM-side."""
+def char_codes(text_col: str = "text") -> Column:
+    """Codepoint array of the text, computed ONCE per row (split is a
+    single O(n) pass). The rolling exprs below index this array with
+    element_at — O(1) per access. Indexing the STRING with
+    substr(text, i, 1) instead is an O(i) UTF-8 seek per step → O(n²)
+    per doc; that version benched 19 s at sf0.1 vs ~2 s for this one."""
     return F.expr(
-        f"aggregate(transform(sequence(1, length({text_col})), "
-        f"i -> CAST(ascii(substr({text_col}, i, 1)) AS BIGINT)), "
-        f"CAST(0 AS BIGINT), (acc, c) -> (acc * {ROLL_B} + c) % {ROLL_M})"
+        f"transform(filter(split({text_col}, ''), ch -> ch <> ''), "
+        f"ch -> CAST(ascii(ch) AS BIGINT))"
     )
 
 
-def min_kgram_rolling(text_col: str = "text") -> Column:
+def rolling_hash_full(codes_col: str = "_codes") -> Column:
+    """Karp-Rabin polynomial hash of the whole text: one O(n) fold,
+    (acc*B + code) mod M per char — pure column expression, JVM-side.
+    Takes the char_codes() column name."""
+    return F.expr(
+        f"aggregate({codes_col}, CAST(0 AS BIGINT), "
+        f"(acc, c) -> (acc * {ROLL_B} + c) % {ROLL_M})"
+    )
+
+
+def min_kgram_rolling(codes_col: str = "_codes") -> Column:
     """Winnowing-style fingerprint: min over all K-char window hashes,
     computed by a TRUE rolling update — the aggregate's struct
     accumulator pushes char i and evicts char i-K each step
     (win' = win*B + c_in - c_out*B^K mod M), O(n) total, never
     re-hashing a window from scratch. NULL when the text is shorter
-    than K. The DuckDB oracle recomputes every window hash DIRECTLY
+    than K. Takes the char_codes() column name; the lambda indexes that
+    OUTER column with element_at (O(1)), legal in Spark higher-order
+    functions. The DuckDB oracle recomputes every window hash DIRECTLY
     from its 8 chars (congruent mod M) — same value, independent
     algorithm."""
     BK = pow(ROLL_B, ROLL_K, ROLL_M)
-    c_in = f"CAST(ascii(substr({text_col}, i, 1)) AS BIGINT)"
-    c_out = f"CAST(ascii(substr({text_col}, i - {ROLL_K}, 1)) AS BIGINT)"
+    c_in = f"element_at({codes_col}, i)"
+    c_out = f"element_at({codes_col}, i - {ROLL_K})"
     win = (
         f"pmod(acc.win * {ROLL_B} + {c_in} - IF(i > {ROLL_K}, {c_out} * {BK}, CAST(0 AS BIGINT)), {ROLL_M})"
     )
+    # empty-text guard: sequence(1, 0) DESCENDS to [1, 0] and ANSI
+    # element_at would throw on the empty array — emit no steps instead
     return F.expr(
-        f"aggregate(sequence(1, length({text_col})), "
+        f"aggregate(IF(size({codes_col}) = 0, CAST(array() AS ARRAY<INT>), "
+        f"sequence(1, size({codes_col}))), "
         f"named_struct('win', CAST(0 AS BIGINT), 'mn', CAST({_LMAX} AS BIGINT)), "
         f"(acc, i) -> named_struct('win', {win}, "
         f"'mn', IF(i >= {ROLL_K}, least(acc.mn, {win}), acc.mn)), "

@@ -831,12 +831,13 @@ def docs_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     leftmost-first and RE2 leftmost-longest tokenize identically."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return (
-        docs.select(
+        docs.withColumn("_codes", X.char_codes("text"))  # one O(n) pass, O(1) indexing
+        .select(
             "doc_id",
             F.size(X.tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
             X.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
-            X.rolling_hash_full("text").alias("h_full"),
-            X.min_kgram_rolling("text").alias("min_8gram"),
+            X.rolling_hash_full("_codes").alias("h_full"),
+            X.min_kgram_rolling("_codes").alias("min_8gram"),
         )
         .orderBy("doc_id")
     )
