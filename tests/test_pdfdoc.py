@@ -99,3 +99,37 @@ def test_spark_scan(spark):
     assert [(r.doc_id, r.page_idx, r.text) for r in out] == [
         (f"d{i}", p, f"p{i}.0\np{i}.1") for i in range(4) for p in range(i + 1)
     ]
+
+
+def test_scan_objects_ignores_adversarial_stream_bytes():
+    # A stream payload may by chance contain b"endobj" or b"N 0 obj"
+    # (Flate output is arbitrary bytes). The object scanner must skip the
+    # payload via /Length — neither truncating the body nor injecting a
+    # bogus object id.
+    from thuvienphapluat_crawler_spark.sources.pdfdoc import (
+        _scan_objects,
+        parse_pdf_text,
+    )
+
+    payload = b"BT /F1 12 Tf 72 720 Td (hello) Tj ET\nendobj\n99 0 obj\n<<>>"
+    buf = bytearray(b"%PDF-1.4\n")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n" % len(payload) + payload + b"\nendstream",
+    ]
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 5\n0000000000 65535 f \n"
+    for off in offsets:
+        buf += b"%010d 00000 n \n" % off
+    buf += b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_at
+
+    scanned = _scan_objects(bytes(buf))
+    assert sorted(scanned) == [1, 2, 3, 4]  # no phantom object 99
+    assert payload in scanned[4]  # body not truncated at embedded endobj
+    assert parse_pdf_text(bytes(buf)) == [(0, "hello")]

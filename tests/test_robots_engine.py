@@ -76,3 +76,28 @@ def test_robots_lineage_counts_blocked(run):
     lineage = engine.wh.read_manifest().get("lineage", {})
     blocked = [v.get("n_robots_blocked", 0) for v in lineage.values()]
     assert any(b > 0 for b in blocked)
+
+
+def test_missing_crawl_delay_falls_back(spark, tmp_path, monkeypatch):
+    # RFC 9309 makes Crawl-delay optional. A host whose robots.txt lacks the
+    # line must fall back to the default per-host delay (engine AND oracle),
+    # never NaN fetch slots.
+    orig = SW.host_robots_txt
+
+    def no_delay(h: int) -> str:
+        return "\n".join(
+            ln for ln in orig(h).splitlines() if not ln.startswith("Crawl-delay")
+        )
+
+    monkeypatch.setattr(SW, "host_robots_txt", no_delay)
+    monkeypatch.setattr(crawl_oracle.SW, "host_robots_txt", no_delay)
+    world = SW.World(n_hosts=3, base_size=12, links_per_page=2, budget_per_host=5, max_epochs=2)
+    engine = CrawlEngine(spark, world, str(tmp_path / "wh_nodelay"), n_buckets=2, robots=True)
+    engine.run()
+    got = log_rows(engine)
+    oracle = crawl_oracle.crawl(world, robots=True)
+    assert got == sorted(oracle.log)
+    assert got, "crawl fetched nothing"
+    for _, host, rank, _, slot, _, _, _ in got:
+        d = SW.crawl_delay(int(host[4:7]))
+        assert slot == (rank - 1) * d  # default delay, not NaN

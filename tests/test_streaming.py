@@ -95,3 +95,33 @@ def test_streaming_politeness_contiguous_across_batches(spark, tmp_path):
         assert ranks == list(range(1, len(rs) + 1)), host  # contiguous, no gaps
         for r in rs:
             assert r.fetch_slot_s == round((r.rnk - 1) * delay, 1)
+
+
+def test_schedule_group_sorts_across_arrow_chunks():
+    # A host group bigger than arrow.maxRecordsPerBatch arrives as MULTIPLE
+    # pandas chunks. Slot order must follow the (category_priority, depth,
+    # url_fp) sort over the WHOLE group, not per-chunk.
+    import pandas as pd
+
+    from thuvienphapluat_crawler_spark.streaming.politeness import _schedule_group
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.val = v
+
+    def mk(rows):
+        return pd.DataFrame(
+            rows, columns=["host", "doc_id", "category_priority", "depth", "url_fp"]
+        )
+
+    # chunk 2 holds the globally-first row (priority 0) — a per-chunk sort
+    # would schedule doc 11 (priority 5) before doc 99 (priority 0).
+    chunk1 = mk([("host1", 11, 5, 1, "aa"), ("host1", 12, 5, 2, "bb")])
+    chunk2 = mk([("host1", 99, 0, 0, "cc"), ("host1", 13, 5, 1, "zz")])
+    st = FakeState()
+    (out,) = list(_schedule_group(("host1",), iter([chunk1, chunk2]), st))
+    assert list(out["doc_id"]) == [99, 11, 13, 12]
+    assert list(out["rnk"]) == [1, 2, 3, 4]
+    assert st.val == (4,)

@@ -62,6 +62,8 @@ def crawl(
                 from ..sources.robots import parse_robots
 
                 delay = parse_robots(SW.host_robots_txt(h_idx), SW.ROBOTS_AGENT)["crawl_delay"]
+                if delay is None:  # robots.txt without a Crawl-delay line:
+                    delay = SW.crawl_delay(h_idx)  # same fallback as engine
             else:
                 delay = SW.crawl_delay(h_idx)
             cookie = SW.host_cookie_header(h_idx)

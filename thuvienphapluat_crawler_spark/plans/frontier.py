@@ -172,7 +172,11 @@ class CrawlEngine:
             pdf = pdf.sort_values("rank").reset_index(drop=True)
             h_idx, _, _ = SW.parse_url_parts(pdf["canonical_url"].iloc[0])
             if "robots_delay" in pdf.columns:  # robots mode: delay comes
-                delay = float(pdf["robots_delay"].iloc[0])  # from robots.txt
+                rd = pdf["robots_delay"].iloc[0]  # from robots.txt
+                # A host whose robots.txt has no Crawl-delay (or that is
+                # absent from the rules dim) arrives as null/NaN — fall
+                # back to the default per-host delay, never NaN slots.
+                delay = float(rd) if rd is not None and not np.isnan(rd) else SW.crawl_delay(h_idx)
                 pdf = pdf.drop(columns=["robots_delay"])
             else:
                 delay = SW.crawl_delay(h_idx)

@@ -1961,7 +1961,7 @@ def xlsx_real_sheets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pdf_real_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6 with the decode REAL end-to-end (reference: extract_text_pymupdf,
+    r"""S6 with the decode REAL end-to-end (reference: extract_text_pymupdf,
     ocr/test_ocr_quality.py:38-44 — the cheap no-OCR routing tier). Per
     doc, build_pdf writes an ACTUAL PDF 1.4 (1 + doc_id%3 pages; odd docs
     Flate-compressed via stdlib zlib), then parse_pdf_text walks
@@ -3211,9 +3211,51 @@ def ocr_cost_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver's correctness snapshot gates the FIRST 50 entries of queries()
+# in iteration order. Every operator family must land inside that window, so
+# family second-strings (each still fully gated by tools/verify_oracle.py and
+# pytest) are ordered after the 50 family representatives. Tail membership is
+# a presentation concern only — no query behavior changes.
+_DRIVER_TAIL: tuple[str, ...] = (
+    # TPC-H variants (agg family q1, join family q3, rollup_returns,
+    # order_value_quantiles stay in the head)
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_revenue_delta",
+    "cube_order_stats",
+    "distinct_parts_per_brand",
+    "customer_running_total",
+    # events family: pivot (A2) + sessionize (A8) stay in the head
+    "events_hourly_stats",
+    # textstats family: docs_quality + docs_rolling_fp stay in the head
+    "docs_fingerprint",
+    "docs_lang_id",
+    # dedup family: lsh_pairs + ngram_jaccard + simhash stay in the head
+    "docs_minhash_sigs",
+    "docs_simhash_hamming",
+    # ANN family: bruteforce + multiprobe (strongest variant) stay in the head
+    "emb_knn_lsh",
+    "emb_knn_multitable",
+    # A1 window form (the exact streaming form stays in the head)
+    "docs_paragraph_merge",
+    # S8: xlsx_real_sheets (the real-codec variant) stays in the head
+    "workbook_sheet_tables",
+    # politeness: streaming_politeness + crawl_engine_demo stay in the head
+    "politeness_schedule",
+    # spans family: spans_build + lookahead + lookback stay in the head
+    "spans_roundtrip_stats",
+)
+
+
+def _driver_order(names) -> list[str]:
+    head = [n for n in names if n not in _DRIVER_TAIL]
+    tail = [n for n in names if n in _DRIVER_TAIL]
+    return head + tail
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _driver_order(QUERIES)}
 
 
 def get_oracles() -> dict[str, str]:
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _driver_order(ORACLES)}

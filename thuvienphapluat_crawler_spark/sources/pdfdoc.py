@@ -139,10 +139,42 @@ def _assemble_pdf(page_streams: list[bytes], compress: bool) -> bytes:
     return bytes(buf)
 
 
-_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+0\s+obj")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _LEN_RE = re.compile(rb"/Length\s+(\d+)")
 _STREAM_AT_RE = re.compile(rb"stream\r?\n")
+
+
+def _scan_objects(data: bytes) -> dict[int, bytes]:
+    """Object id → body, walking objects sequentially. Each stream's
+    /Length is used to jump over its payload BEFORE looking for `endobj`,
+    so Flate-compressed bytes that happen to contain b"endobj" or
+    b"N 0 obj" can neither truncate a body nor inject a bogus object
+    (a whole-file non-greedy regex had exactly that failure mode)."""
+    objs: dict[int, bytes] = {}
+    pos = 0
+    while True:
+        hm = _OBJ_HDR_RE.search(data, pos)
+        if not hm:
+            break
+        start = hm.end()
+        sm = _STREAM_AT_RE.search(data, start)
+        em = data.find(b"endobj", start)
+        if sm and (em == -1 or sm.start() < em):
+            # the stream keyword belongs to THIS object (it precedes the
+            # first endobj candidate): skip exactly /Length payload bytes
+            lm = _LEN_RE.search(data, start, sm.start())
+            if lm:
+                payload_end = sm.end() + int(lm.group(1))
+            else:  # indirect /Length: fall back to the endstream scan
+                es = data.find(b"endstream", sm.end())
+                payload_end = es if es != -1 else sm.end()
+            em = data.find(b"endobj", payload_end)
+        if em == -1:
+            break
+        objs[int(hm.group(1))] = data[start:em]
+        pos = em + len(b"endobj")
+    return objs
 
 
 def _stream_bytes(body: bytes) -> bytes | None:
@@ -169,7 +201,7 @@ def _page_stream_bytes(data: bytes) -> list[bytes]:
     stdlib zlib; any other /Filter raises NotImplementedError (the
     honest boundary — LZW/JBIG2/CCITT need a real decoder, the
     container has none)."""
-    objs: dict[int, bytes] = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    objs: dict[int, bytes] = _scan_objects(data)
 
     def ref(body: bytes, key: bytes) -> int | None:
         m = re.search(key + rb"\s+(\d+)\s+0\s+R", body)

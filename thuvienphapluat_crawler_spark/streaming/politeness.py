@@ -49,7 +49,13 @@ def _schedule_group(
     n = state.get[0] if state.exists else 0
     delay = 1.0 + (int(host.removeprefix("host")) % 3)  # == SW.crawl_delay
     out = []
-    for pdf in pdfs:
+    # A host group larger than arrow.maxRecordsPerBatch arrives as MULTIPLE
+    # pandas chunks; sorting each chunk independently would silently break
+    # the documented (category_priority, depth, url_fp) within-batch order.
+    # Concatenate first, sort once.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values(["category_priority", "depth", "url_fp"])
         for doc_id in pdf["doc_id"]:
             n += 1
