@@ -142,3 +142,32 @@ def test_drop_repeated_headers(spark):
     df = spark.createDataFrame(rows, "doc_id string, row_idx int, cells array<string>")
     kept = drop_repeated_headers(df, detect_header_row(df))
     assert sorted(r.row_idx for r in kept.collect()) == [0, 1, 3]
+
+
+def test_section_chunks_merged_cell_semantics(spark):
+    # format_doc.py:82-100/:183-198: all-non-empty-cells-identical + marker
+    # starts a section; decoy identical rows without a marker stay data;
+    # blanks drop; chunk numbering restarts at each section boundary.
+    from thuvienphapluat_crawler_spark.operators.enrich import section_chunks
+
+    rows = [
+        (1, 1, ["r1", "a", "x"]),          # pre-section data
+        (1, 2, ["r2", "b", "y"]),          # pre-section data
+        (1, 3, ["MỤC 1", "MỤC 1", "MỤC 1"]),
+        (1, 4, ["r4", "c", "z"]),
+        (1, 5, ["", "", None]),            # blank -> dropped
+        (1, 6, ["ghi chú", "ghi chú", "ghi chú"]),  # identical, no marker -> data
+        (1, 7, ["XÉT NGHIỆM X", "", "XÉT NGHIỆM X"]),  # empty cell ignored
+    ] + [(1, 8 + i, [f"r{8+i}", "d", "w"]) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, row_idx int, cells array<string>")
+    got = {
+        r.row_idx: (r.section_id, r.section_title, r.chunk_id)
+        for r in section_chunks(df, chunk_rows=5).collect()
+    }
+    assert 3 not in got and 5 not in got and 7 not in got  # sections+blank consumed
+    assert got[1] == (0, None, 0) and got[2] == (0, None, 0)
+    assert got[4] == (1, "MỤC 1", 0)
+    assert got[6] == (1, "MỤC 1", 0)  # decoy stays a data row
+    assert [got[8 + i] for i in range(6)] == [
+        (2, "XÉT NGHIỆM X", 0)
+    ] * 5 + [(2, "XÉT NGHIỆM X", 1)]  # chunking restarted at the boundary

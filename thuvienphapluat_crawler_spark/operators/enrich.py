@@ -12,6 +12,8 @@ Chunking reproduces format_xls.py:16-19/221-240: fixed 30-row groups per
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -194,6 +196,59 @@ def annex_title(
     return joined.select(
         doc_col,
         F.when(F.length(collapsed) > min_len, collapsed).alias("annex_title"),
+    )
+
+
+# Merged-cell section markers (format_doc.py:93-98): a candidate row's text
+# must contain XÉT NGHIỆM or start with one of these prefixes.
+SECTION_CONTAINS = ("XÉT NGHIỆM",)
+SECTION_PREFIXES = ("I.", "II.", "III.", "1.", "2.", "3.", "CHƯƠNG", "MỤC")
+
+
+def section_chunks(
+    rows: DataFrame,
+    doc_col: str = "doc_id",
+    idx_col: str = "row_idx",
+    cells_col: str = "cells",
+    chunk_rows: int = CHUNK_ROWS,
+) -> DataFrame:
+    """Merged-cell section detection + section-scoped chunking
+    (format_doc.py:82-100 `is_section_header_row`/`extract_section_title`,
+    applied at :183-198): a row whose non-empty cells are ALL IDENTICAL and
+    whose text matches the marker set starts a new section; the buffer
+    flushes at each section boundary, so chunk numbering restarts per
+    (doc, section). Blank rows are dropped (format_doc.py:196); section
+    rows are consumed, not emitted. Rows before any section row get
+    section_id 0 and a NULL title (the reference writes them with
+    section=None). One window pass — cumsum of the section flag is the
+    section id, chunk_id = lane-local (row_number-1) // chunk_rows."""
+    ne = F.filter(F.col(cells_col), lambda c: c.isNotNull() & (F.trim(c) != ""))
+    first_txt = F.try_element_at(ne, F.lit(1))  # blank rows: ne is empty (ANSI element_at throws)
+    up = F.upper(first_txt)
+    marker = reduce(
+        lambda a, b: a | b,
+        [up.contains(m) for m in SECTION_CONTAINS]
+        + [up.startswith(p) for p in SECTION_PREFIXES],
+    )
+    is_section = (F.size(ne) > 0) & (F.size(F.array_distinct(ne)) == 1) & marker
+    is_blank = F.size(ne) == 0
+
+    w = Window.partitionBy(doc_col).orderBy(idx_col)
+    flagged = rows.withColumn("_sec", is_section).withColumn("_blank", is_blank).withColumn(
+        "section_id",
+        F.sum(F.col("_sec").cast("int")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    ).withColumn(
+        "_title", F.when(F.col("_sec"), F.trim(first_txt))
+    )
+    wg = Window.partitionBy(doc_col, "section_id")
+    titled = flagged.withColumn("section_title", F.max("_title").over(wg))
+    data = titled.filter(~F.col("_sec") & ~F.col("_blank"))
+    wr = Window.partitionBy(doc_col, "section_id").orderBy(idx_col)
+    return (
+        data.withColumn(
+            "chunk_id", F.floor((F.row_number().over(wr) - 1) / chunk_rows).cast("int")
+        )
+        .drop("_sec", "_blank", "_title")
     )
 
 

@@ -2382,6 +2382,140 @@ def table_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- merged-cell section headers → section-scoped chunking ------------------
+
+def _section_prefix_sql() -> str:
+    from .operators.enrich import SECTION_CONTAINS, SECTION_PREFIXES
+
+    conds = [f"contains(upper(ne[1]), '{m}')" for m in SECTION_CONTAINS]
+    conds += [f"starts_with(upper(ne[1]), '{p}')" for p in SECTION_PREFIXES]
+    return " OR ".join(conds)
+
+
+_SEC0 = "'MỤC ' || CAST(row_idx // 6 + 1 AS VARCHAR)"
+_SEC1 = "'XÉT NGHIỆM NHÓM ' || CAST(row_idx // 6 + 1 AS VARCHAR)"
+_SEC2 = "'2. Danh mục ' || CAST(row_idx // 6 + 1 AS VARCHAR)"
+
+
+@register(
+    "table_sections",
+    f"""
+    WITH base AS (SELECT doc_id, text, 14 + doc_id % 7 AS n FROM documents),
+    r AS (SELECT doc_id, text, unnest(generate_series(0, n - 1)) AS row_idx FROM base),
+    c AS (
+      SELECT doc_id, row_idx,
+        CASE
+          WHEN row_idx = 0 THEN ['STT', 'MÃ SỐ', 'Tên thủ tục']
+          WHEN row_idx % 6 = 3 THEN
+            CASE CAST((doc_id + row_idx // 6) % 4 AS INT)
+              WHEN 0 THEN [{_SEC0}, {_SEC0}, {_SEC0}]
+              WHEN 1 THEN [{_SEC1}, {_SEC1}, {_SEC1}]
+              WHEN 2 THEN [{_SEC2}, {_SEC2}, {_SEC2}]
+              ELSE ['ghi chú chung', 'ghi chú chung', 'ghi chú chung']
+            END
+          WHEN row_idx % 6 = 5 AND doc_id % 3 = 0 THEN ['', '', NULL]
+          ELSE ['r' || CAST(row_idx AS VARCHAR),
+                'M' || CAST(doc_id AS VARCHAR) || '.' || CAST(row_idx AS VARCHAR),
+                substr(text, (row_idx * 3) % 40 + 1, 12)]
+        END AS cells
+      FROM r),
+    f AS (
+      SELECT doc_id, row_idx,
+             list_filter(cells, x -> x IS NOT NULL AND trim(x) != '') AS ne
+      FROM c WHERE row_idx > 0),
+    f2 AS (
+      SELECT *,
+             len(ne) > 0 AND len(list_distinct(ne)) = 1
+               AND ({_section_prefix_sql()}) AS is_sec,
+             len(ne) = 0 AS is_blank
+      FROM f),
+    sid AS (
+      SELECT *, CAST(sum(CASE WHEN is_sec THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY row_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS section_id
+      FROM f2),
+    titled AS (
+      SELECT *, max(CASE WHEN is_sec THEN trim(ne[1]) END)
+               OVER (PARTITION BY doc_id, section_id) AS section_title
+      FROM sid),
+    chunked AS (
+      SELECT doc_id, section_id, section_title, row_idx,
+             (row_number() OVER (PARTITION BY doc_id, section_id ORDER BY row_idx) - 1) // 5
+               AS chunk_id
+      FROM titled WHERE NOT is_sec AND NOT is_blank)
+    SELECT doc_id, section_id, section_title,
+           CAST(min(row_idx) AS BIGINT) AS first_row_idx,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT chunk_id) AS BIGINT) AS n_chunks
+    FROM chunked GROUP BY doc_id, section_id, section_title
+    ORDER BY doc_id, section_id
+    """,
+)
+def table_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-cell section headers (format_doc.py:82-100 applied at
+    :183-198): planted tables carry all-cells-identical section rows in a
+    4-way rotation (MỤC / XÉT NGHIỆM / numeric-prefix sections, plus an
+    identical-but-markerless decoy that must stay a DATA row), blank rows
+    to drop, and pre-section rows that must get section_id 0 with a NULL
+    title. The engine detects the header (W4), assigns cumsum section ids
+    with flush-at-boundary chunking (chunk numbering restarts per
+    section); the oracle replays the same list semantics in DuckDB."""
+    from .operators.enrich import detect_header_row, section_chunks
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = F.col("row_idx")
+    k = F.floor(idx / 6).cast("int")
+    null_s = F.lit(None).cast("string")
+    s0 = F.concat(F.lit("MỤC "), (k + 1).cast("string"))
+    s1 = F.concat(F.lit("XÉT NGHIỆM NHÓM "), (k + 1).cast("string"))
+    s2 = F.concat(F.lit("2. Danh mục "), (k + 1).cast("string"))
+    s3 = F.lit("ghi chú chung")
+    v = ((F.col("doc_id") + k) % 4).cast("int")
+    cells = (
+        F.when(idx == 0, F.array(F.lit("STT"), F.lit("MÃ SỐ"), F.lit("Tên thủ tục")))
+        .when(
+            idx % 6 == 3,
+            F.when(v == 0, F.array(s0, s0, s0))
+            .when(v == 1, F.array(s1, s1, s1))
+            .when(v == 2, F.array(s2, s2, s2))
+            .otherwise(F.array(s3, s3, s3)),
+        )
+        .when((idx % 6 == 5) & (F.col("doc_id") % 3 == 0), F.array(F.lit(""), F.lit(""), null_s))
+        .otherwise(
+            F.array(
+                F.concat(F.lit("r"), idx.cast("string")),
+                F.concat(F.lit("M"), F.col("doc_id").cast("string"), F.lit("."), idx.cast("string")),
+                F.expr("substr(text, (row_idx * 3) % 40 + 1, 12)"),
+            )
+        )
+    )
+    rows = (
+        docs.select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), (F.lit(13) + F.col("doc_id") % 7))).alias("row_idx"),
+        )
+        .select("doc_id", "text", F.col("row_idx").cast("int").alias("row_idx"))
+        .select("doc_id", "row_idx", cells.alias("cells"))
+    )
+    hdr = detect_header_row(rows)
+    data = (
+        rows.join(F.broadcast(hdr), "doc_id")
+        .filter(F.col("row_idx") > F.col("header_idx"))
+        .drop("header_idx")
+    )
+    sc = section_chunks(data, chunk_rows=5)
+    return (
+        sc.groupBy("doc_id", "section_id")
+        .agg(
+            F.max("section_title").alias("section_title"),
+            F.min("row_idx").cast("bigint").alias("first_row_idx"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("chunk_id").cast("bigint").alias("n_chunks"),
+        )
+        .orderBy("doc_id", "section_id")
+    )
+
+
 # --- docs_postprocess: the full 14-step doc_name-parameterized regex fold ---
 
 _VUP_SQL = "A-ZĐÀÁẢÃẠĂẮẰẲẴẶÂẤẦẨẪẬÈÉẺẼẸÊẾỀỂỄỆÌÍỈĨỊÒÓỎÕỌÔỐỒỔỖỘƠỚỜỞỠỢÙÚỦŨỤƯỨỪỬỮỰỲÝỶỸỴ"
@@ -3012,6 +3146,11 @@ def ocr_golden_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- S13: catalog-driven HTTP-sink (foreachPartition spool) -----------------
 
+# Parallel upload clients: each lane is an independent 1 req/s token bucket
+# (lane = portable md5-hex hash of the file name). 8 lanes keeps the throttle
+# window partitioned at any scale; 1 == the reference's sequential client.
+_UPLOAD_LANES = 8
+
 _UPLOAD_CAT_SQL = """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS file,
          CAST(doc_id % 1000 AS VARCHAR) || '/2024/QĐ-BYT' AS document_number,
          CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'Luat' WHEN 1 THEN 'Nghi-dinh'
@@ -3029,23 +3168,26 @@ _UPLOAD_CAT_SQL = """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS file,
     WITH cat AS ({_UPLOAD_CAT_SQL}),
     flagged AS (
       SELECT *, substr(md5(file), 1, 1) != '0' AS present,
-             substr(md5(file), 2, 1) AS d2 FROM cat),
+             substr(md5(file), 2, 1) AS d2,
+             CAST(('0x' || substr(md5(file), 3, 2))::UBIGINT % {_UPLOAD_LANES} AS BIGINT) AS lane
+      FROM cat),
     posted AS (
-      SELECT *, CAST(row_number() OVER (ORDER BY file) - 1 AS DOUBLE) AS post_slot
+      SELECT *, CAST(row_number() OVER (PARTITION BY lane ORDER BY file) - 1 AS DOUBLE) AS post_slot
       FROM flagged WHERE present),
     out AS (
       SELECT file, document_number, document_type, issuing_authority, title, issued_date,
              CASE WHEN d2 IN ('0', '1') THEN 'failed' ELSE 'success' END AS status,
              CASE WHEN d2 IN ('0', '1') THEN NULL ELSE 200 END AS status_code,
              CASE WHEN d2 IN ('0', '1') THEN 'HTTP 500: upstream' ELSE NULL END AS error,
-             post_slot
+             lane, post_slot
       FROM posted
       UNION ALL
       SELECT file, document_number, document_type, issuing_authority, title, issued_date,
-             'skipped', NULL, 'File not found', NULL
+             'skipped', NULL, 'File not found', NULL, NULL
       FROM flagged WHERE NOT present)
     SELECT file, document_number, document_type, issuing_authority, title, issued_date,
-           status, CAST(status_code AS BIGINT) AS status_code, error, post_slot
+           status, CAST(status_code AS BIGINT) AS status_code, error,
+           CAST(lane AS BIGINT) AS lane, post_slot
     FROM out ORDER BY file
     """,
 )
@@ -3090,18 +3232,26 @@ def upload_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d2 = F.substring(F.md5("file"), 2, 1)
     failed = d2.isin("0", "1")
-    # Virtual 1 req/s token bucket: POSTs fire at slot 0,1,2,… in file
-    # order (global — the reference is one sequential client; at a higher
-    # allowed rate this window becomes per-lane after a repartition)
+    # Virtual token bucket, LANE-partitioned: files hash into _UPLOAD_LANES
+    # independent 1 req/s clients and post_slot is the lane-local slot
+    # (row 0,1,2,… per lane). The window is partitionBy(lane) — never a
+    # single-task global sort; lanes scale with the allowed request rate.
+    # _UPLOAD_LANES=1 reproduces the reference's one sequential client
+    # (upload_documents.py:129) exactly.
+    lane = (F.conv(F.substring(F.md5("file"), 3, 2), 16, 10).cast("long") % _UPLOAD_LANES)
     posted = (
         joined.filter(F.col("status") == "upload")
-        .withColumn("post_slot", (F.row_number().over(Window.orderBy("file")) - 1).cast("double"))
+        .withColumn("lane", lane)
+        .withColumn(
+            "post_slot",
+            (F.row_number().over(Window.partitionBy("lane").orderBy("file")) - 1).cast("double"),
+        )
         .select(
             "file", "document_number", "document_type", "issuing_authority", "title", "issued_date",
             F.when(failed, "failed").otherwise("success").alias("status"),
             F.when(~failed, F.lit(200)).cast("long").alias("status_code"),
             F.when(failed, F.lit("HTTP 500: upstream")).alias("error"),
-            "post_slot",
+            "lane", "post_slot",
         )
     )
     skipped = joined.filter(F.col("status") == "skipped").select(
@@ -3109,6 +3259,7 @@ def upload_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("skipped").alias("status"),
         F.lit(None).cast("long").alias("status_code"),
         F.lit("File not found").alias("error"),
+        F.lit(None).cast("long").alias("lane"),
         F.lit(None).cast("double").alias("post_slot"),
     )
     records = posted.unionByName(skipped)

@@ -15,8 +15,11 @@ assertable, and benchable instead of wall-clock sleeps.
 Scale note: an HTTP sink is rate-bound, not compute-bound — the Spark
 shape that survives scale is exactly this one (foreachPartition + a
 per-partition token bucket writing its own spool file, statuses re-read
-as a table). At a higher allowed rate you repartition to n_clients and
-give each partition its own slot lane; nothing else changes.
+as a table). The throttle is LANE-partitioned by default: files hash
+into N_LANES independent 1 req/s clients and post_slot is the lane-local
+slot, so the scheduling window is `partitionBy(lane)` — never a global
+single-task sort. N_LANES=1 reproduces the reference's one sequential
+client (upload_documents.py:129) exactly.
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 POST_RECORD_SCHEMA = (
     "file string, document_number string, document_type string, issuing_authority string, "
     "title string, issued_date string, status string, status_code long, error string, "
-    "post_slot double"
+    "lane long, post_slot double"
 )
 
 
