@@ -25,61 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from thuvienphapluat_crawler_spark import queries as Q
 from thuvienphapluat_crawler_spark.session import get_spark
 
-BENCH_QUERIES = [
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "q6_revenue_delta",
-    "q4_order_priority",
-    "top_orders_per_customer",
-    "customer_running_total",
-    "rollup_returns",
-    "events_pivot_by_type",
-    "events_hourly_stats",
-    "events_sessionize",
-    "url_canonicalize",
-    "frontier_rank",
-    "politeness_schedule",
-    "seen_antijoin",
-    "spans_build",
-    "spans_roundtrip_stats",
-    "dedup_exact",
-    "docs_fingerprint",
-    "docs_rolling_fp",  # Karp-Rabin full + rolling min-8gram + BPE-ish tokens (r03)
-    "docs_quality",
-    "docs_lang_id",
-    "docs_minhash_sigs",
-    "docs_minhash_lsh_pairs",  # benchable since the hot-bucket cap (r02)
-    "docs_ngram_jaccard",
-    "docs_simhash",
-    "docs_simhash_hamming",
-    "docs_postprocess",
-    "html_extract_docs",
-    "docs_full_pipeline",
-    "workbook_sheet_tables",
-    "table_header_tiers",
-    "table_annex_title",
-    "table_chunks",
-    "table_markdown",
-    "xlsx_real_sheets",  # real xlsx encode+decode path (r03)
-    "pdf_real_text",  # real PDF text-layer encode+decode path (r03)
-    "pdf_table_extract",  # positioned-text PDF → geometric table reconstruction (r03)
-    "docx_real_chunks",  # real DOCX encode+decode → annex/header/markdown (r03)
-    "png_real_features",  # real PNG encode+decode → channel sums + resize (r03)
-    "robots_filter",  # robots.txt parse + broadcast rule evaluation (r03)
-    "media_ocr_route",
-    "ocr_golden_compare",  # r02 verdict: the one oracle query with no perf sample
-    "ocr_cost_summary",
-    "upload_statuses",  # foreachPartition spool sink incl. write+readback
-    "lsh_bucket_stats",
-    "streaming_politeness",  # stateful streaming scheduler (r03)
-    "docs_paragraph_merge",
-    "docs_paragraph_merge_exact",
-    "emb_knn_bruteforce",
-    "emb_knn_lsh",
-    "emb_knn_multitable",
-    "emb_cosine_near_dup",
-]
+# Every registered query gets a perf sample (r03 verdict #5 closed the
+# last coverage gap). The one exclusion: crawl_engine_demo — the
+# dedicated crawl bench below runs the same engine end-to-end at a much
+# larger world, so the family's sample is crawl_engine itself.
+BENCH_EXCLUDE = {"crawl_engine_demo"}
+BENCH_QUERIES = [n for n in Q.QUERIES if n not in BENCH_EXCLUDE]
 
 BENCH_WORLD = dict(n_hosts=16, base_size=300, links_per_page=4, budget_per_host=25, max_epochs=4)
 WARM_WORLD = dict(n_hosts=2, base_size=20, links_per_page=2, budget_per_host=5, max_epochs=1)

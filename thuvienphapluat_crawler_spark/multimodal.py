@@ -149,7 +149,7 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def route_media(media: DataFrame) -> DataFrame:
+def route_media(media: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """OCR tier routing + retry/sentinel semantics (SURVEY §4 'tiered
     strategy selection'): a when/otherwise routing column picks
 
@@ -197,4 +197,5 @@ def route_media(media: DataFrame) -> DataFrame:
         .when(has_text, F.lit("text-layer text"))
         .otherwise(F.lit("| bordered | table |"))
         .alias("out_text"),
+        *passthrough,  # caller metrics ride along the same scan-side pass
     )

@@ -197,3 +197,59 @@ def lsh_multitable_topk(
         .filter(F.col("rnk") <= k)
         .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"), F.col("rnk").alias("rank"))
     )
+
+
+def lsh_multiprobe_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH (the Lv et al. VLDB'07 idea on sign-LSH): the
+    corpus index is UNCHANGED — same L tables, same bucket projections —
+    but each query also probes every bucket at Hamming distance 1 from
+    its own signature (flip each of the P planes). Near neighbors that
+    fell one sign-bit across a boundary become candidates without
+    building more tables; the extra cost is probe rows only
+    (|Q|·L·(P+1) narrow rows, still broadcast). Recall tail fix for the
+    random-top-k probes the single-bucket variant misses."""
+    vecs = emb.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("ne"))
+    buckets = vecs.select(
+        "nid", *[lsh_table_bucket(F.col("ne"), t).alias(f"b{t}") for t in range(LSH_TABLES)]
+    )
+    narrow = buckets.select(
+        "nid",
+        F.explode(
+            F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b")) for t in range(LSH_TABLES)])
+        ).alias("tb"),
+    ).select("nid", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    masks = [0] + [2**p for p in range(LSH_PLANES_PER_TABLE)]
+    probes = (
+        narrow.filter(F.col("nid").isin(query_ids))
+        .select(F.col("nid").alias("qid"), "t", "b")
+        .select(
+            "qid", "t",
+            F.explode(F.array(*[F.col("b").bitwiseXOR(F.lit(m)) for m in masks])).alias("b"),
+        )
+    )
+    cand = (
+        narrow.join(F.broadcast(probes), ["t", "b"])
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    queries = vecs.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("qid"), F.col("ne").alias("qe")
+    )
+    sims = (
+        cand.join(vecs, "nid")
+        .join(F.broadcast(queries), "qid")
+        .withColumn("sim", F.round(cosine(F.col("qe"), F.col("ne")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "nid")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"), F.col("rnk").alias("rank"))
+    )

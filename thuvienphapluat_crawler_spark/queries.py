@@ -1204,6 +1204,43 @@ def emb_knn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_multitable_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
 
 
+def _lsh_multiprobe_oracle() -> str:
+    ids = ", ".join(map(str, _KNN_QUERY_IDS))
+    masks = ", ".join(str(m) for m in [0] + [2**p for p in range(S.LSH_PLANES_PER_TABLE)])
+    table_buckets = ", ".join(f"({_duck_bucket_expr(t)}) AS b{t}" for t in range(S.LSH_TABLES))
+    cand_unions = " UNION ".join(
+        f"""SELECT q.nid AS qid, c.nid AS nid FROM bucketed q
+            JOIN bucketed c ON xor(q.b{t}, c.b{t}) IN ({masks}) AND c.nid != q.nid
+            WHERE q.nid IN ({ids})"""
+        for t in range(S.LSH_TABLES)
+    )
+    return f"""
+    WITH c0 AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ne FROM embeddings),
+         bucketed AS (SELECT nid, ne, {table_buckets} FROM c0),
+         cand AS ({cand_unions}),
+         sims AS (SELECT cand.qid, cand.nid,
+                         round(list_inner_product(q.ne, c.ne) /
+                               (sqrt(list_inner_product(q.ne, q.ne)) * sqrt(list_inner_product(c.ne, c.ne))), 6) AS sim
+                  FROM cand JOIN c0 q ON q.nid = cand.qid JOIN c0 c ON c.nid = cand.nid)
+    SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank FROM (
+      SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM sims)
+    WHERE rnk <= 5 ORDER BY query_id, rank
+    """
+
+
+@register("emb_knn_multiprobe", _lsh_multiprobe_oracle())
+def emb_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: the emb_knn_multitable index (L=4 × 6-plane
+    tables) probed at Hamming distance ≤1 per table — each query checks
+    its own bucket plus the 6 single-plane flips, so sign-boundary
+    neighbors become candidates with ZERO extra index build. Probe rows
+    stay broadcast-small (|Q|·L·7 narrow ints). Measured on the recall
+    harness (tools/ann_recall.py): recall@5 uplift over the single-probe
+    variant at the same table count."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_multiprobe_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
+
+
 def _emb_near_dup_oracle() -> str:
     table_buckets = ", ".join(
         f"({_duck_bucket_expr(t, S.NEARDUP_HYPERPLANES)}) AS b{t}" for t in range(S.NEARDUP_TABLES)
@@ -2965,6 +3002,119 @@ def media_ocr_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_media(spark, media_from_documents(spark, sf_dir))
     return route_media(media).orderBy("doc_id", "media_ref")
+
+
+# --- S5 closed: PDF page → glyph raster → PNG round-trip → OCR routing ------
+
+def _glyph_ink_values_sql() -> str:
+    from .sources.raster import FONT_5X7, glyph_ink
+
+    return ", ".join(f"('{ch}', {glyph_ink(ch)})" for ch in FONT_5X7)
+
+
+_RASTER_L1_SQL = "upper(regexp_replace(substr(text, 1, 30), '[^A-Za-z0-9 ]', '', 'g'))"
+_RASTER_L3_SQL = "upper(regexp_replace(substr(text, 31, 30), '[^A-Za-z0-9 ]', '', 'g'))"
+
+
+@register(
+    "pdf_page_raster",
+    f"""
+    WITH base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             {_RASTER_L1_SQL} || 'DOC ' || CAST(doc_id AS VARCHAR) || {_RASTER_L3_SQL}
+               AS alltext
+      FROM documents),
+    glyphs AS (SELECT * FROM (VALUES {_glyph_ink_values_sql()}) AS g(ch, ink)),
+    idx AS (SELECT doc_id, alltext,
+                   unnest(generate_series(1, len(alltext))) AS i FROM base),
+    chars AS (SELECT doc_id, substr(alltext, CAST(i AS INT), 1) AS ch FROM idx),
+    ink AS (SELECT c.doc_id, sum(g.ink) AS tot
+            FROM chars c JOIN glyphs g ON c.ch = g.ch GROUP BY c.doc_id),
+    sig AS (SELECT doc_id, md5(doc_id || '|raster/p0.png') AS sh FROM base),
+    routed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(sh, 5, 2)) AS INT) % 4 = 0 AS has_text,
+             CAST(('0x' || substr(sh, 7, 2)) AS INT) % 3 AS n_lines,
+             CAST(('0x' || substr(sh, 1, 1)) AS INT) AS h0
+      FROM sig)
+    SELECT b.doc_id,
+           306 AS width_px, 396 AS height_px, 3 AS n_draws,
+           CAST(coalesce(i.tot, 0) AS BIGINT) AS ink_pixels,
+           CASE WHEN has_text THEN 'text_layer'
+                WHEN n_lines > 0 THEN 'table_plumber'
+                ELSE 'vlm_ocr' END AS route,
+           CASE WHEN NOT has_text AND n_lines = 0 AND h0 = 0 THEN 'error' ELSE 'ok' END AS status,
+           CAST(CASE WHEN has_text OR n_lines > 0 THEN 1
+                WHEN h0 = 0 THEN 3 WHEN h0 IN (1, 2) THEN 2 ELSE 1 END AS INT) AS attempts
+    FROM base b LEFT JOIN ink i ON b.doc_id = i.doc_id JOIN routed r ON b.doc_id = r.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def pdf_page_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 with the page→pixels step REAL for the repo's own font subset
+    (reference: ocr/ocr_pdf.py:37-45 PyMuPDF dpi render → PNG → VLM).
+    Per doc: build an actual PDF 1.4 (odd docs Flate-compressed), walk
+    its content stream into positioned text draws (parse_pdf_text_ops),
+    rasterize the page at 36 dpi with the 5×7 glyph face
+    (sources/raster — point→pixel scale dpi/72, the reference's Matrix),
+    round-trip the pixels through the REAL PNG codec, and count ink
+    pixels from the DECODED image; the PNG bytes then ride through
+    route_media as the content column. The oracle predicts every pixel
+    in closed form (ink = k²·Σ glyph popcounts over the sanitized text)
+    and replays the routing CASEs — so raster geometry, glyph painting,
+    PNG encode AND decode are all value-gated, not just smoke-run."""
+    from .multimodal import route_media
+    from .sources.pdfdoc import build_pdf, parse_pdf_text_ops
+    from .sources.pngcodec import decode_png, encode_png
+    from .sources.raster import rasterize_draws
+
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    san1 = F.upper(F.regexp_replace(F.substring("text", 1, 30), "[^A-Za-z0-9 ]", ""))
+    san3 = F.upper(F.regexp_replace(F.substring("text", 31, 30), "[^A-Za-z0-9 ]", ""))
+    prepped = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        san1.alias("l1"),
+        F.concat(F.lit("DOC "), F.col("doc_id").cast("string")).alias("l2"),
+        san3.alias("l3"),
+    )
+
+    def raster(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, l1, l2, l3 in zip(pdf["doc_id"], pdf["l1"], pdf["l2"], pdf["l3"]):
+                data = build_pdf([[str(l1), str(l2), str(l3)]], compress=int(doc_id) % 2 == 1)
+                draws = parse_pdf_text_ops(data)[0]
+                img = rasterize_draws(draws, dpi=36)
+                # big pages take the cheap filter set (None/Up), the way a
+                # real encoder's per-row heuristic would; the full 5-filter
+                # decoder stays exercised by png_real_features + tests
+                png = encode_png(img, row_filters=(0, 2))
+                dec = decode_png(png)
+                ink = int((dec.sum(axis=2) == 0).sum())
+                rows.append(
+                    (str(doc_id), "raster/p0.png", "image",
+                     int(dec.shape[1]), int(dec.shape[0]), len(draws), ink, png)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "kind", "width_px", "height_px",
+                         "n_draws", "ink_pixels", "content"],
+            )
+
+    schema = (
+        "doc_id string, media_ref string, kind string, width_px int, height_px int, "
+        "n_draws int, ink_pixels bigint, content binary"
+    )
+    rastered = prepped.mapInPandas(raster, schema)
+    routed = route_media(
+        rastered, passthrough=("width_px", "height_px", "n_draws", "ink_pixels")
+    )
+    return routed.select(
+        "doc_id", "width_px", "height_px", "n_draws", "ink_pixels",
+        "route", "status", "attempts",
+    ).orderBy("doc_id")
 
 
 # --- docs_full_pipeline: run_pipeline end-to-end ---------------------------

@@ -249,6 +249,36 @@ def parse_pdf_text(data: bytes) -> list[tuple[int, str]]:
     return out
 
 
+_TEXTOP_RE = re.compile(
+    rb"([\d.+-]+)\s+TL|([\d.+-]+)\s+([\d.+-]+)\s+Td|T\*"
+    rb"|\(((?:[^()\\]|\\.)*)\)\s*Tj"
+)
+
+
+def parse_pdf_text_ops(data: bytes) -> list[list[tuple[float, float, str]]]:
+    """Per page, the positioned text draws [(x_pt, y_pt, text), …] from a
+    TL/Td/T*/Tj content stream (the subset build_pdf emits — the text
+    matrix is tracked as absolute position + leading). This is the layout
+    the rasterizer consumes: the same (page, position, string) triples a
+    PyMuPDF 150-dpi render paints (ocr/ocr_pdf.py:37-45)."""
+    pages: list[list[tuple[float, float, str]]] = []
+    for raw in _page_stream_bytes(data):
+        x = y = 0.0
+        leading = 0.0
+        draws: list[tuple[float, float, str]] = []
+        for m in _TEXTOP_RE.finditer(raw):
+            if m.group(1) is not None:
+                leading = float(m.group(1))
+            elif m.group(2) is not None:
+                x, y = float(m.group(2)), float(m.group(3))
+            elif m.group(4) is not None:
+                draws.append((x, y, _unesc_pdf(m.group(4).decode("utf-8"))))
+            else:  # T*
+                y -= leading
+        pages.append(draws)
+    return pages
+
+
 _CELL_RE = re.compile(
     rb"BT\s+/F\d+\s+[\d.]+\s+Tf\s+([\d.+-]+)\s+([\d.+-]+)\s+Td\s*"
     rb"\(((?:[^()\\]|\\.)*)\)\s*Tj\s*ET"

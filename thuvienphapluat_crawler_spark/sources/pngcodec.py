@@ -30,11 +30,14 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
+def encode_png(img: np.ndarray, row_filters: tuple[int, ...] = (0, 1, 2, 3, 4)) -> bytes:
     """Spec-valid non-interlaced 8-bit RGB PNG from a (h, w, 3) uint8
-    array. Filter type for row r is r % 5 — deliberately cycling None/
-    Sub/Up/Average/Paeth so a decoder must implement all of them.
-    Deterministic bytes for identical input."""
+    array. Filter type for row r is row_filters[r % len(row_filters)] —
+    the default cycles None/Sub/Up/Average/Paeth so a decoder must
+    implement all of them. Callers encoding LARGE pages pass a cheap set
+    (e.g. (0, 2)) the way real encoders pick per-row filter heuristics;
+    pixel content is identical either way. Deterministic bytes for
+    identical input."""
     if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("need (h, w, 3) uint8")
     h, w, _ = img.shape
@@ -42,22 +45,23 @@ def encode_png(img: np.ndarray) -> bytes:
     prev = np.zeros(w * 3, dtype=np.int16)
     for r in range(h):
         cur = img[r].reshape(-1).astype(np.int16)
-        left = np.concatenate([np.zeros(3, np.int16), cur[:-3]])
-        upleft = np.concatenate([np.zeros(3, np.int16), prev[:-3]])
-        ft = r % 5
+        ft = row_filters[r % len(row_filters)]
         if ft == 0:
             flt = cur
-        elif ft == 1:
-            flt = cur - left
         elif ft == 2:
             flt = cur - prev
-        elif ft == 3:
-            flt = cur - (left + prev) // 2
-        else:  # Paeth
-            p = left + prev - upleft
-            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
-            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
-            flt = cur - pred
+        else:
+            left = np.concatenate([np.zeros(3, np.int16), cur[:-3]])
+            if ft == 1:
+                flt = cur - left
+            elif ft == 3:
+                flt = cur - (left + prev) // 2
+            else:  # Paeth
+                upleft = np.concatenate([np.zeros(3, np.int16), prev[:-3]])
+                p = left + prev - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+                flt = cur - pred
         raw.append(ft)
         raw += (flt % 256).astype(np.uint8).tobytes()
         prev = cur
@@ -108,25 +112,34 @@ def decode_png(data: bytes) -> np.ndarray:
         at += 1 + stride
         if ft == 0:
             cur = row
+        elif ft == 1:
+            # Sub: recon[i] = raw[i] + recon[i-bpp] → per-channel prefix
+            # sum mod 256 (vectorized; no sequential dependency left)
+            cur = (np.cumsum(row.reshape(w, bpp), axis=0) % 256).reshape(stride)
         elif ft == 2:
             cur = (row + prev) % 256
-        else:  # Sub/Average/Paeth need the reconstructed left byte: sequential
-            cur = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + b) // 2
-                elif ft == 4:
+        elif ft in (3, 4):
+            # Average/Paeth: the left byte is the recurrence — sequential
+            # in x, but over plain Python lists (an order of magnitude
+            # faster than per-element numpy indexing on big rows)
+            rl, pl = row.tolist(), prev.tolist()
+            cl = [0] * stride
+            if ft == 3:
+                for i in range(stride):
+                    a = cl[i - bpp] if i >= bpp else 0
+                    cl[i] = (rl[i] + ((a + pl[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = cl[i - bpp] if i >= bpp else 0
+                    b = pl[i]
+                    c = pl[i - bpp] if i >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                else:
-                    raise ValueError(f"bad filter {ft}")
-                cur[i] = (row[i] + pred) % 256
+                    cl[i] = (rl[i] + pred) & 0xFF
+            cur = np.array(cl, dtype=np.int32)
+        else:
+            raise ValueError(f"bad filter {ft}")
         out[r] = cur.astype(np.uint8)
         prev = cur
     px = out.reshape(h, w, bpp)
