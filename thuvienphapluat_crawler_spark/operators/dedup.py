@@ -224,3 +224,54 @@ def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return bitvals.groupBy("doc_id").agg(
         F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))).alias("simhash")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Near-dup cluster resolution: connected components over an
+    undirected edge list via min-label propagation — each round every
+    node takes min(own label, neighbors' labels); converges in
+    O(diameter) rounds. Dedup graphs are cliques and short chains
+    (diameter 1-3), so this is 2-4 rounds of (join + groupBy-min), each
+    a bounded shuffle on the node id; labels are localCheckpoint'ed per
+    round so the iterative plan never deepens. At adversarial diameters
+    the standard escalation is alternating small-star/large-star
+    (Kiveris et al.), same join primitives. Returns (node, component)
+    with component = min node id reachable."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                labels["node"].alias("node"),
+                F.least(F.col("comp"), F.coalesce("nb_comp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            new.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if n_changed == 0:
+            break
+    return labels

@@ -1241,7 +1241,9 @@ def emb_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_multiprobe_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
 
 
-def _emb_near_dup_oracle() -> str:
+def _emb_near_dup_ctes() -> str:
+    """CTE chain aug → bucketed → cand → sims, shared by the near-dup
+    pair oracle and the cluster-resolution oracle."""
     table_buckets = ", ".join(
         f"({_duck_bucket_expr(t, S.NEARDUP_HYPERPLANES)}) AS b{t}" for t in range(S.NEARDUP_TABLES)
     )
@@ -1249,8 +1251,7 @@ def _emb_near_dup_oracle() -> str:
         f"SELECT a.nid AS na, b.nid AS nb FROM bucketed a JOIN bucketed b ON a.b{t} = b.b{t} AND a.nid < b.nid"
         for t in range(S.NEARDUP_TABLES)
     )
-    return f"""
-    WITH aug AS (
+    return f"""aug AS (
       SELECT vec_id * 2 AS nid, embedding::DOUBLE[] AS ne FROM embeddings
       UNION ALL
       SELECT vec_id * 2 + 1,
@@ -1261,20 +1262,21 @@ def _emb_near_dup_oracle() -> str:
     sims AS (SELECT cand.na, cand.nb,
                     round(list_inner_product(a.ne, b.ne) /
                           (sqrt(list_inner_product(a.ne, a.ne)) * sqrt(list_inner_product(b.ne, b.ne))), 6) AS sim
-             FROM cand JOIN aug a ON a.nid = cand.na JOIN aug b ON b.nid = cand.nb)
+             FROM cand JOIN aug a ON a.nid = cand.na JOIN aug b ON b.nid = cand.nb)"""
+
+
+def _emb_near_dup_oracle() -> str:
+    return f"""
+    WITH {_emb_near_dup_ctes()}
     SELECT na AS vec_a, nb AS vec_b, sim AS cosine
     FROM sims WHERE sim >= 0.98 ORDER BY vec_a, vec_b
     """
 
 
-@register("emb_cosine_near_dup", _emb_near_dup_oracle())
-def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection (the brief's
-    'embedding-cosine near-dup' op): every 5th vector gets a perturbed
-    twin (first component +0.05); candidates come from the multi-table
-    LSH buckets — NEVER an all-pairs cosine — and exact cosine ≥ 0.98
-    verifies. The same layout at 10^9 vectors: bucket keys shuffle,
-    vectors join in once for verification."""
+def _emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(aug corpus with planted twins, verified near-dup pairs) — the
+    engine twin of _emb_near_dup_ctes, shared by the pair query and the
+    cluster-resolution query."""
     emb = load(spark, sf_dir, "embeddings")
     base = emb.select((F.col("vec_id") * 2).alias("nid"), S.as_double(F.col("embedding")).alias("ne"))
     twin_vec = F.concat(
@@ -1304,14 +1306,125 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     va = buckets.select(F.col("nid").alias("na"), F.col("ne").alias("ea"))
     vb = buckets.select(F.col("nid").alias("nb"), F.col("ne").alias("eb"))
-    return (
+    pairs = (
         cand.join(va, "na")
         .join(vb, "nb")
         .withColumn("cosine", F.round(S.cosine(F.col("ea"), F.col("eb")), 6))
         .filter(F.col("cosine") >= 0.98)
         .select(F.col("na").alias("vec_a"), F.col("nb").alias("vec_b"), "cosine")
-        .orderBy("vec_a", "vec_b")
     )
+    return aug, pairs
+
+
+@register("emb_cosine_near_dup", _emb_near_dup_oracle())
+def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the brief's
+    'embedding-cosine near-dup' op): every 5th vector gets a perturbed
+    twin (first component +0.05); candidates come from the multi-table
+    LSH buckets — NEVER an all-pairs cosine — and exact cosine ≥ 0.98
+    verifies. The same layout at 10^9 vectors: bucket keys shuffle,
+    vectors join in once for verification."""
+    _, pairs = _emb_near_dup_pairs(spark, sf_dir)
+    return pairs.orderBy("vec_a", "vec_b")
+
+
+@register(
+    "emb_dup_clusters",
+    f"""
+    WITH RECURSIVE {_emb_near_dup_ctes()},
+    dup_pairs AS (SELECT na, nb FROM sims WHERE sim >= 0.98),
+    edges AS (SELECT na AS a, nb AS b FROM dup_pairs
+              UNION SELECT nb, na FROM dup_pairs),
+    reach(node, comp) AS (
+      SELECT nid, nid FROM aug
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node),
+    lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+    SELECT node AS vec_id, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+           node = component AS is_canonical
+    FROM lab ORDER BY vec_id
+    """,
+)
+def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER RESOLUTION — the step a training-data pipeline
+    runs after pair detection: connected components over the verified
+    near-dup pairs (min-label propagation, operators/dedup.
+    connected_components), every corpus vector labeled with its
+    component, cluster sizes, and a deterministic canonical
+    representative (min id) per cluster — the keep/drop decision for
+    dedup. Singletons stay their own cluster. The oracle replays
+    reachability with a recursive CTE, so the distributed propagation is
+    value-gated against true transitive closure."""
+    from .operators.dedup import connected_components
+
+    aug, pairs = _emb_near_dup_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="vec_a", dst="vec_b")
+    labeled = (
+        aug.select(F.col("nid").alias("vec_id"))
+        .join(cc, F.col("vec_id") == F.col("node"), "left")
+        .select("vec_id", F.coalesce("comp", F.col("vec_id")).alias("component"))
+    )
+    wsize = Window.partitionBy("component")
+    return (
+        labeled.withColumn("cluster_size", F.count("*").over(wsize).cast("bigint"))
+        .withColumn("is_canonical", F.col("vec_id") == F.col("component"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "corpus_manifest",
+    f"""
+    WITH docs AS ({_AUG_SQL}),
+    q AS (SELECT doc_id, text, len({_WS_SQL}) AS n_tokens FROM docs),
+    kept AS (SELECT * FROM q WHERE n_tokens >= 24),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (PARTITION BY {_NORM_SQL} ORDER BY doc_id) AS rn
+      FROM kept),
+    surv AS (SELECT doc_id, n_tokens FROM ranked WHERE rn = 1),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+      FROM surv)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before AS BIGINT) AS cum_tokens_before,
+           CAST(cum_before // 4096 AS INT) AS shard_id
+    FROM packed ORDER BY doc_id
+    """,
+)
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus manifest pipeline end-to-end: quality gate
+    (whitespace token count ≥ 24 — bites on ~a quarter of the corpus) →
+    exact dedup keep-first on the normalized-text fingerprint (one
+    shuffle on fp; the planted exact copies drop, the near-dup variants
+    survive for emb_dup_clusters to resolve) → token-budget shard
+    packing at 4096 tokens/shard. The cumsum is the DISTRIBUTED
+    two-phase prefix sum (operators/shards.packed_shards:
+    repartitionByRange + per-partition subtotals + broadcast offsets),
+    never a single-task global sort; the oracle replays it with a plain
+    SQL window, proving the distributed form equals the sequential
+    semantics."""
+    from .operators.shards import packed_shards
+
+    docs = _augmented_docs(spark, sf_dir)
+    q = docs.withColumn("n_tokens", F.size(X.tokens(F.col("text"))))
+    kept = q.filter(F.col("n_tokens") >= 24)
+    wfp = Window.partitionBy(X.doc_fingerprint(F.col("text"))).orderBy("doc_id")
+    surv = (
+        kept.withColumn("_rn", F.row_number().over(wfp))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    packed = packed_shards(surv, "doc_id", "n_tokens", budget=4096)
+    return packed.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("cum_before").alias("cum_tokens_before"),
+        F.col("shard_id").cast("int").alias("shard_id"),
+    ).orderBy("doc_id")
 
 
 @register(
@@ -3545,6 +3658,10 @@ _DRIVER_TAIL: tuple[str, ...] = (
     "politeness_schedule",
     # spans family: spans_build + lookahead + lookback stay in the head
     "spans_roundtrip_stats",
+    # O3 top-k limit: q3_top_orders stays in the head
+    "top_orders_per_customer",
+    # table family: header_tiers + chunks + sections + annex stay in the head
+    "table_markdown",
 )
 
 
