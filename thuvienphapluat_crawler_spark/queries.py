@@ -3224,10 +3224,17 @@ def pdf_page_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = route_media(
         rastered, passthrough=("width_px", "height_px", "n_draws", "ink_pixels")
     )
-    return routed.select(
-        "doc_id", "width_px", "height_px", "n_draws", "ink_pixels",
-        "route", "status", "attempts",
-    ).orderBy("doc_id")
+    # materialize the 8 scalar columns before the presentation sort: the
+    # range-sort's sampling pass would otherwise re-run the whole codec
+    # mapInPandas a second time
+    return (
+        routed.select(
+            "doc_id", "width_px", "height_px", "n_draws", "ink_pixels",
+            "route", "status", "attempts",
+        )
+        .localCheckpoint()
+        .orderBy("doc_id")
+    )
 
 
 # --- docs_full_pipeline: run_pipeline end-to-end ---------------------------
