@@ -519,15 +519,35 @@ def frontier_scale_job(
     # MinHash permutation constants (content near-dup sketch per page)
     from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
-    a_vec = np.array(MINHASH_A, dtype=np.int64).reshape(-1, 1)
-    b_vec = np.array(MINHASH_B, dtype=np.int64).reshape(-1, 1)
-
     def fetch_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # The engine's full per-document work: fetch simulation (retry
         # semantics), interleaved span extraction, content fingerprint,
         # MinHash signature + SimHash sketch over token hashes — i.e.
         # what a training-data crawl actually computes per page.
+        # Token→(minhash contribution, simhash bits) is MEMOIZED across
+        # the task's whole input: corpus vocabularies are Zipfian, so
+        # the md5 + per-token matrix work collapses to a dict hit for
+        # all but first occurrences (values identical to the direct
+        # formula — tested in test_skew_and_state).
         import hashlib
+
+        a0, b0 = int(MINHASH_A[0]), int(MINHASH_B[0])
+        bit_idx = np.arange(32)
+        bitpow = 1 << np.arange(32, dtype=np.int64)
+        tok_ix: dict[str, int] = {}
+        s0_rows: list[int] = []
+        bit_rows: list[np.ndarray] = []
+        S0 = np.empty(0, dtype=np.int64)
+        B = np.empty((0, 32), dtype=np.int64)
+
+        def tok_index(t: str) -> int:
+            i = tok_ix.get(t)
+            if i is None:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                tok_ix[t] = i = len(s0_rows)
+                s0_rows.append(((h % MINHASH_P) * a0 + b0) % MINHASH_P)
+                bit_rows.append((((h >> bit_idx) & 1) * 2 - 1).astype(np.int64))
+            return i
 
         for pdf in it:
             m = len(pdf)
@@ -546,15 +566,12 @@ def frontier_scale_job(
                 n_spans[i] = len(spans)
                 text = " ".join(s[1] for s in spans if s[0] == "text")
                 total_len[i] = len(text)
-                toks = set(text.split())
-                th = np.array(
-                    [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks],
-                    dtype=np.int64,
-                )
-                sigs = ((th % MINHASH_P) * a_vec + b_vec) % MINHASH_P  # (K, |toks|)
-                sig0[i] = sigs.min(axis=1)[0]
-                bits = ((th[:, None] >> np.arange(32)) & 1) * 2 - 1  # (|toks|, 32)
-                simhash[i] = int((bits.sum(axis=0) > 0).astype(np.int64) @ (1 << np.arange(32, dtype=np.int64)))
+                idx = [tok_index(t) for t in set(text.split())]
+                if len(s0_rows) > len(S0):  # vocab grew: rebuild the memo
+                    S0 = np.array(s0_rows, dtype=np.int64)  # matrices (rare
+                    B = np.vstack(bit_rows)  # after the first few docs)
+                sig0[i] = int(S0[idx].min())
+                simhash[i] = int((B[idx].sum(axis=0) > 0).astype(np.int64) @ bitpow)
             yield pd.DataFrame(
                 {
                     "host_n": pdf["host_n"],
