@@ -843,7 +843,9 @@ def docs_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_id_oracle() -> str:
+def _lang_score_sql() -> tuple[list[str], str]:
+    """(score column exprs over `ws`, winning-language CASE expr) — shared
+    by the lang-id oracle and the stratified-sampling oracle."""
     score_cols = []
     for lang, markers in X.LANG_MARKERS.items():
         parts = " + ".join(f"len(list_filter(ws, t -> t = '{m}'))" for m in markers)
@@ -853,6 +855,12 @@ def _lang_id_oracle() -> str:
     for lang in langs[1:]:
         name_expr = f"CASE WHEN score_{lang} > ({score_expr}) THEN '{lang}' ELSE ({name_expr}) END"
         score_expr = f"CASE WHEN score_{lang} > ({score_expr}) THEN score_{lang} ELSE ({score_expr}) END"
+    return score_cols, name_expr
+
+
+def _lang_id_oracle() -> str:
+    score_cols, name_expr = _lang_score_sql()
+    langs = list(X.LANG_MARKERS)
     return f"""
     WITH t AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
          s AS (SELECT doc_id, {", ".join(score_cols)} FROM t)
@@ -1425,6 +1433,56 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_before").alias("cum_tokens_before"),
         F.col("shard_id").cast("int").alias("shard_id"),
     ).orderBy("doc_id")
+
+
+# Per-language sampling rates in basis points (deterministic hash-gate
+# sampling — reproducible across runs/engines, unlike RNG sampleBy).
+_SAMPLE_RATES_BP = {"en": 2500, "query": 5000, "data": 10000, "exec": 1000}
+
+
+def _corpus_sample_oracle() -> str:
+    score_cols, name_expr = _lang_score_sql()
+    rates = ", ".join(f"('{lang}', {bp})" for lang, bp in _SAMPLE_RATES_BP.items())
+    return f"""
+    WITH t AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+    s AS (SELECT doc_id, {", ".join(score_cols)} FROM t),
+    labeled AS (SELECT doc_id, {name_expr} AS lang_pred FROM s),
+    rates AS (SELECT * FROM (VALUES {rates}) AS r(lang_pred, rate_bp)),
+    gated AS (
+      SELECT l.doc_id, l.lang_pred, r.rate_bp,
+             CAST(CAST(('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  % 10000 AS BIGINT) AS bucket
+      FROM labeled l JOIN rates r ON l.lang_pred = r.lang_pred)
+    SELECT doc_id, lang_pred, bucket FROM gated
+    WHERE bucket < rate_bp ORDER BY doc_id
+    """
+
+
+@register("corpus_sample", _corpus_sample_oracle())
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling, the reproducible way: stratum =
+    predicted language, per-stratum rate in basis points, and the keep
+    decision is a HASH GATE (md5(doc_id) bucket < rate) instead of an
+    RNG — identical samples on every run, every engine, any partitioning
+    (what a training-data pipeline needs for audit + incremental
+    rebuilds; RNG sampleBy can't give the oracle or a re-run the same
+    rows). Rates dim is broadcast; the gate is a scan-side expression."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = X.lang_id_columns(docs).select("doc_id", "lang_pred")
+    rates = spark.createDataFrame(
+        list(_SAMPLE_RATES_BP.items()), "lang_pred string, rate_bp long"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000
+    )
+    return (
+        labeled.join(F.broadcast(rates), "lang_pred")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("rate_bp"))
+        .select("doc_id", "lang_pred", "bucket")
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -3669,6 +3727,8 @@ _DRIVER_TAIL: tuple[str, ...] = (
     "top_orders_per_customer",
     # table family: header_tiers + chunks + sections + annex stay in the head
     "table_markdown",
+    # F2 fold: docs_full_pipeline (the end-to-end form) stays in the head
+    "docs_postprocess",
 )
 
 
