@@ -1052,6 +1052,65 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_decontaminate",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(ws[i:i+4], ' ')
+                            for i in range(1, greatest(len(ws) - 4, 0) + 1)]) AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh
+           WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                      % 100 AS BIGINT) < 5),
+    tr AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+    hits AS (SELECT doc_id, n_sh, count(*) AS n_hits
+             FROM tr JOIN ev USING (g) GROUP BY doc_id, n_sh)
+    SELECT doc_id, n_sh, n_hits,
+           round(n_hits * 1.0 / n_sh, 4) AS contam_frac,
+           n_hits * 1.0 / n_sh >= 0.5 AS is_contaminated
+    FROM hits WHERE n_hits >= 3 ORDER BY doc_id
+    """,
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training docs sharing word-5-gram
+    shingles with a held-out eval set (the GPT-3/Llama decontamination
+    step a training corpus needs before shipping). Eval membership is a
+    deterministic md5(doc_id) hash gate (~5%) so engine and oracle agree
+    exactly. Scale shape: eval shingles are tiny vs a 100 TB corpus —
+    the eval branch filters BEFORE shingling (scan-pruned), its distinct
+    shingle set is broadcast, and corpus shingles meet it in a
+    broadcast-hash join without ever shuffling; the single shuffle is
+    the per-doc hit count. Docs with ≥3 distinct eval shingles are
+    reported with their contaminated fraction."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    eval_sh = (
+        docs.filter(bucket < 5)
+        .select(F.explode(D.shingles(F.col("text"), 5)).alias("g"))
+        .distinct()
+    )
+    train = docs.select("doc_id", D.shingles(F.col("text"), 5).alias("sh"))
+    hits = (
+        train.select("doc_id", F.size("sh").cast("bigint").alias("n_sh"), F.explode("sh").alias("g"))
+        .join(F.broadcast(eval_sh), "g")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= 3)
+    )
+    frac = F.col("n_hits") / F.col("n_sh")
+    return hits.select(
+        "doc_id",
+        "n_sh",
+        "n_hits",
+        F.round(frac, 4).alias("contam_frac"),
+        (frac >= 0.5).alias("is_contaminated"),
+    ).orderBy("doc_id")
+
+
+@register(
     "docs_simhash",
     f"""
     WITH toks AS (SELECT doc_id, unnest(list_distinct({_WS_SQL})) AS tok FROM documents),
@@ -3729,6 +3788,8 @@ _DRIVER_TAIL: tuple[str, ...] = (
     "table_markdown",
     # F2 fold: docs_full_pipeline (the end-to-end form) stays in the head
     "docs_postprocess",
+    # media family: media_features + media_ocr_route stay in the head
+    "media_frame_sample",
 )
 
 
