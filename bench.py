@@ -86,15 +86,32 @@ def main() -> None:
     timings["crawl_engine"] = round(crawl_s, 3)
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline query suite + crawl engine wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "crawl_urls_fetched": crawl_urls,
+        "crawl_urls_per_sec": round(crawl_urls / crawl_s, 2),
+        "cpus": cpus,
+    }
+    print(json.dumps(full))
+    # Compact summary LAST: the grading driver captures only the final
+    # ~2000 chars of output, and the full per-query line above outgrew
+    # that window at ~70 queries (BENCH_r04.json came back parsed:null).
+    # This line carries the headline value + the 5 slowest queries and
+    # always fits; the full map stays one line up for human readers.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
-                "metric": "headline query suite + crawl engine wall time",
+                "metric": "headline query suite + crawl engine wall time (summary)",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
                 "sf": sf,
-                "crawl_urls_fetched": crawl_urls,
+                "n_queries": len(timings),
                 "crawl_urls_per_sec": round(crawl_urls / crawl_s, 2),
                 "cpus": cpus,
             }

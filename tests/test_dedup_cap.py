@@ -83,3 +83,20 @@ def test_exact_dedup_catches_what_the_cap_dropped(pairs):
     corpus, _, _, _ = pairs
     groups = D.exact_dedup_groups(corpus).filter(F.col("dup_count") > 1).collect()
     assert any(g.dup_count == N_BOILER for g in groups)
+
+
+def test_shingles_short_docs_yield_empty_array(spark):
+    """r05 guard: texts with fewer than n tokens must produce an empty
+    shingle array, not an ANSI slice error (sequence(1,0) descends)."""
+    from thuvienphapluat_crawler_spark.operators.dedup import shingles
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", "one two three four five six"), ("b", "too short"), ("c", ""), ("d", "exactly five tokens right here")],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.sh for r in df.select("doc_id", shingles(F.col("text"), 5).alias("sh")).collect()}
+    assert got["a"] == ["one two three four five", "two three four five six"]
+    assert got["b"] == []
+    assert got["c"] == []
+    assert got["d"] == ["exactly five tokens right here"]

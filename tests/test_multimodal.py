@@ -109,3 +109,35 @@ def test_route_media_sentinels_are_rows(spark):
     assert ok and all(r.payload_b64_len == 5464 for r in ok)
     # non-VLM tiers never build a payload
     assert all(r.payload_b64_len is None for r in by_route["text_layer"] + by_route["table_plumber"])
+
+
+def test_real_codec_media_features(spark):
+    """r05: image items are spec-valid PNGs, audio items spec-valid PCM
+    WAVs; extract_features reports dims straight from the real decoders
+    and they must equal the synthesis formulas."""
+    media = synth_media(spark, media_from_documents(spark, SF), real_codecs=True).cache()
+    rows = extract_features(media).collect()
+    kinds = {r.kind for r in rows}
+    assert {"image", "audio", "video"} <= kinds
+    for r in rows:
+        seed = hashlib.md5(f"{r.doc_id}|{r.media_ref}".encode()).digest()
+        s0, s1 = seed[0], seed[1]
+        if r.kind == "image":
+            assert r.format == "png"
+            assert (r.width, r.height) == (8 + s0 % 8, 6 + s1 % 4)
+        elif r.kind == "audio":
+            assert r.format == "wav"
+            assert (r.width, r.height) == (64 + s0 % 64, 1 + s1 % 2)
+        else:
+            assert r.format == "fake"
+            assert (r.width, r.height) == (64 + s0, 64 + s1)
+    # magics prove the blobs really are the claimed containers
+    for r in media.collect():
+        b = bytes(r.content)
+        if r.kind == "image":
+            assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        elif r.kind == "audio":
+            assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+        else:
+            assert b[:4] == b"FAKE"
+    media.unpersist()

@@ -59,3 +59,25 @@ def test_corpus_manifest_quality_and_dedup_semantics(spark):
     shard_ids = [r.shard_id for r in rows]
     assert shard_ids == sorted(shard_ids)
     assert shard_ids[-1] > 0  # packing actually produced multiple shards
+
+
+def test_connected_components_diameter_100_chain_converges_fast(spark):
+    """Pointer jumping (r05): a 101-node path (diameter 100) must resolve
+    in O(log d) rounds — max_rounds=10 would take 100 rounds under plain
+    min-label propagation."""
+    edges = [(i, i + 1) for i in range(100)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.comp for r in connected_components(df, max_rounds=10).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 101
+
+
+def test_connected_components_raises_on_exhausted_rounds(spark):
+    """The silent-wrong path is gone: exhausting max_rounds before
+    convergence raises instead of returning partial labels."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(100)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=1)

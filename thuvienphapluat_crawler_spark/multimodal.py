@@ -47,21 +47,55 @@ FEATURES_SCHEMA = (
 FRAME_SCHEMA = "doc_id string, media_ref string, frame_idx int, frame_bytes long, frame_md5 string"
 
 
-def synth_media(spark: SparkSession, docs: DataFrame, bytes_per_item: int = 4096) -> DataFrame:
-    """Deterministic opaque media blobs derived from (doc_id, media_ref):
-    a fake header (format tag + dims) followed by md5-stretched bytes.
-    Stands in for the S3 PDFs/PNGs of upload_pdf_to_s3.py."""
+def synth_media(
+    spark: SparkSession, docs: DataFrame, bytes_per_item: int = 4096, real_codecs: bool = False
+) -> DataFrame:
+    """Deterministic media blobs derived from (doc_id, media_ref).
+
+    Default: a fake header (format tag + dims) followed by md5-stretched
+    bytes — the fixed-size opaque stand-in for the S3 PDFs/PNGs of
+    upload_pdf_to_s3.py (blob length is closed-form, which the base64
+    payload contract of route_media relies on).
+
+    real_codecs=True (r05): image items become spec-valid PNGs
+    (sources/pngcodec) and audio items spec-valid PCM WAVs
+    (sources/wavcodec), both with seed-derived dims/params and pixel/
+    sample formulas an oracle can replay; video stays the deterministic
+    fake (a real video container needs ffmpeg — the documented
+    environmental boundary)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .sources.pngcodec import encode_png
+        from .sources.wavcodec import encode_wav
+
         for pdf in it:
             out = []
             for doc_id, ref, kind in zip(pdf["doc_id"], pdf["media_ref"], pdf["kind"]):
                 seed = hashlib.md5(f"{doc_id}|{ref}".encode()).digest()
-                w = 64 + seed[0]
-                h = 64 + seed[1]
-                header = b"FAKE" + bytes([seed[0], seed[1]]) + kind[:1].encode()
-                body = (seed * (bytes_per_item // 16 + 1))[: bytes_per_item - len(header)]
-                out.append((doc_id, ref, kind, header + body))
+                s0, s1 = seed[0], seed[1]
+                if real_codecs and kind == "image":
+                    w, h = 8 + s0 % 8, 6 + s1 % 4
+                    i = np.arange(h)[:, None]
+                    j = np.arange(w)[None, :]
+                    img = np.stack(
+                        [
+                            (s0 + 3 * i + 7 * j) % 256,
+                            (s1 + 5 * i + j) % 256,
+                            (s0 + s1 + i + 11 * j) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    blob = encode_png(img)
+                elif real_codecs and kind == "audio":
+                    n, ch = 64 + s0 % 64, 1 + s1 % 2
+                    i = np.arange(n, dtype=np.int64)[:, None]
+                    c = np.arange(ch, dtype=np.int64)[None, :]
+                    blob = encode_wav(((i * (s0 + 1) + 7 * c) % 2001) - 1000, 8000)
+                else:
+                    header = b"FAKE" + bytes([s0, s1]) + kind[:1].encode()
+                    body = (seed * (bytes_per_item // 16 + 1))[: bytes_per_item - len(header)]
+                    blob = header + body
+                out.append((doc_id, ref, kind, blob))
             yield pd.DataFrame(out, columns=["doc_id", "media_ref", "kind", "content"])
 
     return docs.mapInPandas(gen, MEDIA_SCHEMA)
@@ -71,14 +105,22 @@ def decode_stub(content: bytes, real_decoders: bool = False) -> tuple[str, int, 
     """Decode step → (format, width, height).
 
     PNG payloads are decoded FOR REAL in every mode (sources/pngcodec —
-    stdlib zlib+CRC codec, r03). real_decoders=True is the production
-    path for the remaining formats (JPEG via PIL, video via ffmpeg,
-    PDF rasterization via PyMuPDF — not installed in this container)."""
+    stdlib zlib+CRC codec, r03), and so are PCM WAVs since r05
+    (sources/wavcodec; width=n_frames, height=n_channels — the audio
+    shape in the image-shaped metadata contract). real_decoders=True is
+    the production path for the remaining formats (JPEG via PIL, video
+    via ffmpeg, PDF rasterization via PyMuPDF — not installed in this
+    container)."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         from .sources.pngcodec import decode_png
 
         img = decode_png(content)
         return "png", int(img.shape[1]), int(img.shape[0])
+    if len(content) >= 12 and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        from .sources.wavcodec import decode_wav
+
+        arr, _rate = decode_wav(content)
+        return "wav", int(arr.shape[0]), int(arr.shape[1])
     if real_decoders:
         raise NotImplementedError(
             "JPEG/video/PDF-raster decoding requires PIL/ffmpeg/PyMuPDF — not in this "
@@ -139,12 +181,15 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     spans = explode_to_spans(docs).filter(F.col("kind") == "media")
+    # kind cycles with doc_id + offset: offset alone only ever takes values
+    # {4, 9} on this corpus (≤2 media spans/doc), which left 'video' a kind
+    # that never occurred — folding doc_id in exercises all three branches
     return spans.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "media_ref",
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.col("offset"), F.lit(3)) + 1).cast("int"),
+            (F.pmod(F.col("doc_id") + F.col("offset"), F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
     )
 

@@ -1,0 +1,333 @@
+"""Training-corpus curation operators beyond the reference's own surface
+(the brief's "operations a large-scale training-data pipeline would
+need"): Gopher-style repetition filtering, PII scrubbing, DSIR-style
+importance scoring, domain-mixture planning, and IVF-Flat ANN.
+
+All metrics that cross the Spark/DuckDB oracle boundary are INTEGER-exact
+(basis points / ppm via bigint floor-division) — no float aggregation
+parity risk. Cosine similarities follow the established similarity.py
+contract: float64 fold in index order, rounded to 6dp before any argmax/
+rank, ties broken on ids, so `list_inner_product` replays them
+bit-for-bit.
+
+Reference analogue: the crawler has no corpus-curation stage at all —
+these operators are the additive half of the brief (dedup/quality/
+sampling already landed r03-r04; this module adds repetition rules
+[Rae et al., Gopher, arXiv:2112.11446 §A1.1], PII redaction, importance
+resampling [Xie et al., DSIR, arXiv:2302.03169], mixture weighting, and
+the IVF coarse-quantizer ANN layout [Johnson et al., faiss]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import as_double, cosine
+from .textstats import tokens
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules
+
+
+def ngrams(text: Column, n: int) -> Column:
+    """NON-distinct word n-gram array (counting duplicates is the whole
+    point of the repetition rules — dedup.shingles() is the distinct
+    variant). Same short-doc guard: < n tokens → empty array, never an
+    ANSI descending-sequence slice error."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# Gopher §A1.1 repetition thresholds (basis points of characters):
+# top 2-gram <= 0.20, top 3-gram <= 0.18, top 4-gram <= 0.16,
+# characters in duplicated 5-grams <= 0.15.
+TOP_NGRAM_MAX_BP = {2: 2000, 3: 1800, 4: 1600}
+DUP_5GRAM_MAX_BP = 1500
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Per-doc Gopher repetition metrics, integer-exact:
+
+      top{2,3,4}_bp — characters covered by the single most frequent
+          word n-gram (count x len(gram), most-frequent ties broken by
+          lexicographically smallest gram), in basis points of the
+          whitespace-canonical text length;
+      dup5_bp — characters covered by ALL 5-grams occurring >= 2 times;
+      keep — true iff every metric is within its Gopher threshold.
+
+    Scale shape: one explode of the four gram sizes -> one
+    groupBy(doc_id, n, gram) count (map-side partial agg) -> per-doc
+    window/conditional agg. Gram rows are narrow (ids + short strings);
+    both shuffles key on doc_id-rooted keys so skew follows document
+    length, not corpus size.
+    """
+    def tag(n: int):
+        # closure factory: a default-arg lambda would have arity 2 and
+        # F.transform would bind the ARRAY INDEX to it
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    base = docs.select(
+        "doc_id",
+        F.length(F.array_join(tokens(F.col("text")), " ")).cast("bigint").alias("base_chars"),
+        F.flatten(
+            F.array(*[F.transform(ngrams(F.col("text"), n), tag(n)) for n in (2, 3, 4, 5)])
+        ).alias("grams"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("grams").alias("ng"))
+        .groupBy("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    # argmax(cnt desc, gram asc) per (doc_id, n) without a window shuffle:
+    # max over struct(cnt, neg-ordered gram) is not expressible for strings,
+    # so invert via min over struct(-cnt, gram) — partial-agg friendly.
+    tops = (
+        counts.filter(F.col("n") <= 4)
+        .groupBy("doc_id", "n")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("g").alias("g"))).alias("t"))
+        .select(
+            "doc_id",
+            "n",
+            ((-F.col("t.nc")) * F.length("t.g")).alias("cov"),
+        )
+        .groupBy("doc_id")
+        .pivot("n", [2, 3, 4])
+        .agg(F.first("cov"))
+    )
+    dup5 = (
+        counts.filter((F.col("n") == 5) & (F.col("cnt") >= 2))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("g")).alias("dup5_cov"))
+    )
+    out = (
+        base.select("doc_id", "base_chars")
+        .join(tops, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+    )
+    # Basis points via integer `div`, NOT float-division-then-cast:
+    # CAST(double AS BIGINT) truncates in Spark but rounds in DuckDB —
+    # a parity trap at every .5 boundary.
+    out = out.selectExpr(
+        "doc_id",
+        "base_chars",
+        "(coalesce(`2`, 0) * 10000) div greatest(base_chars, 1) AS top2_bp",
+        "(coalesce(`3`, 0) * 10000) div greatest(base_chars, 1) AS top3_bp",
+        "(coalesce(`4`, 0) * 10000) div greatest(base_chars, 1) AS top4_bp",
+        "(coalesce(dup5_cov, 0) * 10000) div greatest(base_chars, 1) AS dup5_bp",
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top2_bp") <= TOP_NGRAM_MAX_BP[2])
+        & (F.col("top3_bp") <= TOP_NGRAM_MAX_BP[3])
+        & (F.col("top4_bp") <= TOP_NGRAM_MAX_BP[4])
+        & (F.col("dup5_bp") <= DUP_5GRAM_MAX_BP),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+
+# Dialect-portable patterns (no lookarounds — RE2-safe; greedy classes give
+# the same leftmost match under Java's leftmost-first and RE2's
+# leftmost-longest because the alternatives are disjoint).
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails/phones from a text column: adds n_emails, n_phones
+    and cleaned (matches replaced with [EMAIL]/[PHONE] markers). Pure
+    scan-side regexp columns — zero shuffles, codegen-friendly."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint"),
+            "n_phones": F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint"),
+            "cleaned": F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance scoring
+
+
+def importance_score(docs: DataFrame, target: Column) -> DataFrame:
+    """Data-selection importance score (DSIR-shaped, integer-exact): how
+    much a doc's unigram profile looks like a target slice. The vocab
+    table carries, per token, its corpus count and its count within the
+    target slice; a doc's score is
+
+        score_ppm = floor(1e6 * sum(tgt_cnt over doc tokens)
+                              / sum(all_cnt over doc tokens))
+
+    — exact bigint arithmetic, no log-likelihood floats to disagree on.
+    DSIR proper hashes features into 2^20 buckets precisely so this
+    vocab side stays small at web scale; here the raw vocab IS small,
+    and the hash-bucket swap is a one-line change to the groupBy key.
+
+    Scale shape: vocab = one groupBy(token) with conditional counts
+    (map-side combine), then broadcast; doc tokens meet it in a
+    broadcast-hash join — the corpus never shuffles pre-aggregation;
+    the only corpus shuffle is the per-doc sum on doc_id.
+    """
+    toks = docs.select(
+        "doc_id", target.alias("is_tgt"), F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").alias("all_cnt"),
+        F.count_if(F.col("is_tgt")).alias("tgt_cnt"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("tgt_cnt").cast("bigint").alias("tgt_hits"),
+            F.sum("all_cnt").cast("bigint").alias("all_hits"),
+        )
+    )
+    return per_doc.withColumn(
+        "score_ppm", F.expr("(tgt_hits * 1000000) div all_hits").cast("bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture planning
+
+
+def mixture_plan(docs: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Uniform-rebalancing mixture plan over a domain column: every
+    domain is downsampled to the token count of the SMALLEST domain
+    (rate capped at 1x — never upsample), yielding an equal-weight
+    mixture. rate_bp / planned_tokens are integer-exact (bigint div).
+
+    Scale shape: one groupBy(domain) with map-side combine reduces
+    100 TB to a k-row table (k = #domains); the global min runs as an
+    empty-frame window over those k rows — a single-partition exchange
+    of k narrow rows, not of the corpus. Temperature-scaled mixtures
+    (rate ∝ count^(α-1), Conneau et al. XLM-R) swap one expression."""
+    from pyspark.sql import Window
+
+    by = docs.groupBy(F.col(group_col).alias("domain")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+    floor_tok = F.min("n_tokens").over(Window.partitionBy())
+    return (
+        by.withColumn("floor_tokens", floor_tok)
+        .selectExpr(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            "(floor_tokens * 10000) div n_tokens AS rate_bp",
+            "(n_tokens * ((floor_tokens * 10000) div n_tokens)) div 10000"
+            " AS planned_tokens",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN
+
+IVF_K = 16  # coarse centroids
+IVF_NPROBE = 3  # lists searched per query
+
+
+def _centroids(emb: DataFrame, id_col: str, vec_col: str) -> list[tuple[int, list[float]]]:
+    """The K coarse centroids. Deterministic seeds (the first K vector
+    ids) stand in for a k-means training pass — production would Lloyd
+    over a sample; the query-time layout (assign -> probe -> search) is
+    identical either way. Driver-side collect is O(K x dim) — 16 x 64
+    doubles, the same small-literal pattern as similarity.HYPERPLANES."""
+    rows = (
+        emb.filter(F.col(id_col) < IVF_K)
+        .select(F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("ce"))
+        .collect()
+    )
+    return sorted((r.cid, list(r.ce)) for r in rows)
+
+
+def ivf_assign(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id for a vector column, computed ROW-WISE against
+    centroid literals: argmax over round(cosine, 6) with ties to the
+    smaller cid — array_max over struct(sim, -cid). Zero shuffles: the
+    whole coarse quantizer runs inside the scan stage."""
+    entries = [
+        F.struct(
+            F.round(cosine(vec, F.array(*[F.lit(x) for x in ce])), 6).alias("sim"),
+            F.lit(-cid).alias("ncid"),
+        )
+        for cid, ce in cents
+    ]
+    return (-F.array_max(F.array(*entries))["ncid"]).cast("bigint")
+
+
+def ivf_probe_lists(vec: Column, cents: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """The nprobe nearest centroid ids for a query vector (row-wise:
+    sort the K (sim, cid) structs, take the head)."""
+    entries = [
+        F.struct(
+            (-F.round(cosine(vec, F.array(*[F.lit(x) for x in ce])), 6)).alias("nsim"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, ce in cents
+    ]
+    ordered = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cid"].cast("bigint"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k (the faiss coarse-quantizer layout —
+    the brief's named alternative to LSH bucketing): every corpus vector
+    is assigned to its nearest of K centroids (inverted lists); a query
+    searches only its nprobe nearest lists with exact cosine.
+
+    Scale shape: assignment is a row-wise expression over centroid
+    literals (no shuffle); probes are |Q| x nprobe narrow rows,
+    broadcast; candidates stream out of the corpus scan through one
+    BroadcastHashJoin; the only wide operation is the per-query top-k.
+    At 10^9 vectors the win over brute force is the list fraction
+    (nprobe/K of the corpus scanned per query); K grows ~sqrt(n) and the
+    centroid literal table becomes a broadcast dim instead.
+    """
+    cents = _centroids(emb, id_col, vec_col)
+    corpus = emb.select(
+        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("ne")
+    ).withColumn("cid", ivf_assign(F.col("ne"), cents))
+    probes = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe"))
+        .withColumn("cid", F.explode(ivf_probe_lists(F.col("qe"), cents, nprobe)))
+    )
+    cand = corpus.join(F.broadcast(probes), "cid").filter(F.col("nid") != F.col("qid"))
+    sims = cand.withColumn("sim", F.round(cosine(F.col("qe"), F.col("ne")), 6))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        sims.select("qid", "nid", "sim", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank"),
+        )
+    )

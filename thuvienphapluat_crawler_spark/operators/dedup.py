@@ -148,14 +148,23 @@ def jaccard_on_pairs(pairs: DataFrame, token_hashes: DataFrame) -> DataFrame:
 
 
 def shingles(text, n: int = 3):
-    """Word n-gram shingle array from a text column (distinct)."""
+    """Word n-gram shingle array from a text column (distinct).
+
+    Short-doc guard: for texts with fewer than n tokens the result is an
+    EMPTY array. Without the guard, ANSI sequence(1, k) with k <= 0
+    descends ([1, 0]) and slice(toks, 0, n) throws at runtime — a latent
+    crash the DuckDB oracle (range(1, greatest(len-n+1,0)+1) → empty)
+    never shares."""
     toks = tokens(text)
     k = F.size(toks) - (n - 1)
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
+        F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -233,15 +242,22 @@ def connected_components(
     max_rounds: int = 50,
 ) -> DataFrame:
     """Near-dup cluster resolution: connected components over an
-    undirected edge list via min-label propagation — each round every
-    node takes min(own label, neighbors' labels); converges in
-    O(diameter) rounds. Dedup graphs are cliques and short chains
-    (diameter 1-3), so this is 2-4 rounds of (join + groupBy-min), each
-    a bounded shuffle on the node id; labels are localCheckpoint'ed per
-    round so the iterative plan never deepens. At adversarial diameters
-    the standard escalation is alternating small-star/large-star
-    (Kiveris et al.), same join primitives. Returns (node, component)
-    with component = min node id reachable."""
+    undirected edge list via min-label propagation WITH pointer jumping
+    (Shiloach–Vishkin-style hook + shortcut): each round every node
+    takes min(own label, neighbors' labels), then compresses one pointer
+    hop (comp(u) <- comp(comp(u))). The shortcut makes the distance to
+    the component minimum shrink geometrically, so convergence is
+    O(log diameter) rounds — a planted diameter-100 chain resolves in
+    ~7 rounds, vs 100 for plain propagation. Each round is two bounded
+    shuffles on the node id; labels are localCheckpoint'ed per round so
+    the iterative plan never deepens. (Alternating small-star/large-star
+    [Kiveris et al., SoCC'14] is the other classic O(log n) layout; the
+    hook+shortcut form reuses the same two join primitives and needs no
+    edge-set rewriting.) Returns (node, component) with component = min
+    node id reachable.
+
+    Raises RuntimeError if max_rounds is exhausted before convergence —
+    never silently returns partial labels."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -251,18 +267,27 @@ def connected_components(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).localCheckpoint()
     labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    converged = False
     for _ in range(max_rounds):
+        # hook: take the min label over the neighborhood
         nbr = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("comp").alias("nb_comp"))
         )
-        new = (
+        hooked = (
             labels.join(nbr, labels["node"] == nbr["a"], "left")
             .select(
                 labels["node"].alias("node"),
                 F.least(F.col("comp"), F.coalesce("nb_comp", F.col("comp"))).alias("comp"),
             )
+        )
+        # shortcut (pointer jumping): comp(u) <- comp(comp(u)). Labels are
+        # always node ids, so the mapping join is total.
+        ptr = hooked.select(F.col("node").alias("cnode"), F.col("comp").alias("ccomp"))
+        new = (
+            hooked.join(ptr, hooked["comp"] == ptr["cnode"])
+            .select("node", F.col("ccomp").alias("comp"))
             .localCheckpoint()
         )
         n_changed = (
@@ -273,5 +298,11 @@ def connected_components(
         )
         labels = new
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_rounds={max_rounds}; "
+            "the graph's effective diameter exceeds 2^max_rounds — raise max_rounds"
+        )
     return labels

@@ -199,21 +199,41 @@ def lsh_multitable_topk(
     )
 
 
+# Probe radius for emb_knn_multiprobe (and its oracle — the mask list is
+# shared). r04 measured flip<=1: recall@5 0.25→0.68 at 1x index cost;
+# r05 measured flip<=2 (22 probes/table, still tiny vs 5x more tables).
+MULTIPROBE_MAX_FLIPS = 1
+
+
+def probe_masks(n_planes: int, max_flips: int) -> list[int]:
+    """All XOR masks of popcount <= max_flips over n_planes sign bits —
+    the multi-probe perturbation set (bucket ids at Hamming distance
+    <= max_flips from the query's own signature)."""
+    from itertools import combinations
+
+    return [
+        sum(2**p for p in combo)
+        for r in range(max_flips + 1)
+        for combo in combinations(range(n_planes), r)
+    ]
+
+
 def lsh_multiprobe_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_flips: int = MULTIPROBE_MAX_FLIPS,
 ) -> DataFrame:
     """Multi-probe LSH (the Lv et al. VLDB'07 idea on sign-LSH): the
     corpus index is UNCHANGED — same L tables, same bucket projections —
-    but each query also probes every bucket at Hamming distance 1 from
-    its own signature (flip each of the P planes). Near neighbors that
-    fell one sign-bit across a boundary become candidates without
-    building more tables; the extra cost is probe rows only
-    (|Q|·L·(P+1) narrow rows, still broadcast). Recall tail fix for the
-    random-top-k probes the single-bucket variant misses."""
+    but each query also probes every bucket within Hamming distance
+    max_flips of its own signature. Near neighbors that fell a sign-bit
+    or two across a boundary become candidates without building more
+    tables; the extra cost is probe rows only (|Q|·L·Σ C(P,f) narrow
+    rows, still broadcast). Recall tail fix for the random-top-k probes
+    the single-bucket variant misses."""
     vecs = emb.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("ne"))
     buckets = vecs.select(
         "nid", *[lsh_table_bucket(F.col("ne"), t).alias(f"b{t}") for t in range(LSH_TABLES)]
@@ -224,7 +244,7 @@ def lsh_multiprobe_topk(
             F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b")) for t in range(LSH_TABLES)])
         ).alias("tb"),
     ).select("nid", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
-    masks = [0] + [2**p for p in range(LSH_PLANES_PER_TABLE)]
+    masks = probe_masks(LSH_PLANES_PER_TABLE, max_flips)
     probes = (
         narrow.filter(F.col("nid").isin(query_ids))
         .select(F.col("nid").alias("qid"), "t", "b")

@@ -713,6 +713,7 @@ def spans_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (first-class per the brief; documents + embeddings tables)
 # --------------------------------------------------------------------------
 
+from .operators import corpusops as C  # noqa: E402
 from .operators import dedup as D  # noqa: E402
 from .operators import similarity as S  # noqa: E402
 from .operators import textstats as X  # noqa: E402
@@ -1054,15 +1055,18 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_decontaminate",
     """
-    WITH sh AS (
-      SELECT doc_id,
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  % 100 AS BIGINT) AS bkt
+      FROM documents),
+    sh AS (
+      SELECT doc_id, bkt,
              list_distinct([array_to_string(ws[i:i+4], ' ')
                             for i in range(1, greatest(len(ws) - 4, 0) + 1)]) AS s
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)),
-    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh
-           WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
-                      % 100 AS BIGINT) < 5),
-    tr AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+      FROM base),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE bkt < 5),
+    tr AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh WHERE bkt >= 5),
     hits AS (SELECT doc_id, n_sh, count(*) AS n_hits
              FROM tr JOIN ev USING (g) GROUP BY doc_id, n_sh)
     SELECT doc_id, n_sh, n_hits,
@@ -1076,12 +1080,15 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles with a held-out eval set (the GPT-3/Llama decontamination
     step a training corpus needs before shipping). Eval membership is a
     deterministic md5(doc_id) hash gate (~5%) so engine and oracle agree
-    exactly. Scale shape: eval shingles are tiny vs a 100 TB corpus —
-    the eval branch filters BEFORE shingling (scan-pruned), its distinct
-    shingle set is broadcast, and corpus shingles meet it in a
-    broadcast-hash join without ever shuffling; the single shuffle is
-    the per-doc hit count. Docs with ≥3 distinct eval shingles are
-    reported with their contaminated fraction."""
+    exactly; eval-member docs are EXCLUDED from the scanned train side
+    (since r05) so every reported hit is genuine train-eval overlap, not
+    an eval doc trivially matching its own shingles. Scale shape: eval
+    shingles are tiny vs a 100 TB corpus — the eval branch filters
+    BEFORE shingling (scan-pruned), its distinct shingle set is
+    broadcast, and corpus shingles meet it in a broadcast-hash join
+    without ever shuffling; the single shuffle is the per-doc hit count.
+    Docs with ≥3 distinct eval shingles are reported with their
+    contaminated fraction."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -1092,7 +1099,7 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(D.shingles(F.col("text"), 5)).alias("g"))
         .distinct()
     )
-    train = docs.select("doc_id", D.shingles(F.col("text"), 5).alias("sh"))
+    train = docs.filter(bucket >= 5).select("doc_id", D.shingles(F.col("text"), 5).alias("sh"))
     hits = (
         train.select("doc_id", F.size("sh").cast("bigint").alias("n_sh"), F.explode("sh").alias("g"))
         .join(F.broadcast(eval_sh), "g")
@@ -1108,6 +1115,100 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 4).alias("contam_frac"),
         (frac >= 0.5).alias("is_contaminated"),
     ).orderBy("doc_id")
+
+
+@register(
+    "docs_decontaminate_spans",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  % 100 AS BIGINT) AS bkt
+      FROM documents),
+    ev AS (
+      SELECT DISTINCT unnest(list_distinct(
+               [array_to_string(ws[i:i+4], ' ')
+                for i in range(1, greatest(len(ws) - 4, 0) + 1)])) AS g
+      FROM base WHERE bkt < 5),
+    pos AS (
+      SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS i
+      FROM base WHERE bkt >= 5),
+    hits AS (
+      SELECT p.doc_id, p.i
+      FROM (SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS g FROM pos) p
+      JOIN ev USING (g)),
+    badj AS (
+      SELECT DISTINCT doc_id, unnest(range(i - 2, i + 7)) AS j FROM hits),
+    bad AS (SELECT doc_id, list(j) AS bad_js FROM badj GROUP BY doc_id),
+    cleaned AS (
+      SELECT b.doc_id,
+             len(b.ws) AS n_tokens,
+             [b.ws[j] for j in range(1, len(b.ws) + 1)
+              if NOT list_contains(d.bad_js, j)] AS keep
+      FROM base b JOIN bad d USING (doc_id))
+    SELECT doc_id,
+           n_tokens,
+           CAST(n_tokens - len(keep) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(keep, ' '), '') AS cleaned_text
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def docs_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: instead of flagging whole docs, REMOVE
+    the contaminated spans and keep the rest — the actual GPT-3/Llama
+    pipeline step. Every word-5-gram of a train doc that appears in the
+    held-out eval set (same md5 hash gate as docs_decontaminate, train
+    side excludes eval members) contaminates the token window
+    [start-2, start+6] (the 5 gram tokens ± a 2-token margin); cleaned
+    text is the remaining tokens rejoined in order. Output: one row per
+    train doc with ≥1 removed token.
+
+    Scale shape: identical to docs_decontaminate up to the hit join
+    (broadcast eval shingles, corpus never shuffles pre-join); the only
+    additions are a per-doc collect_set of bad token indices (one
+    shuffle on doc_id, set size bounded by doc length) and a
+    higher-order-function rebuild (filter/transform on the token array,
+    scan-side, no Python)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    eval_sh = (
+        docs.filter(bucket < 5)
+        .select(F.explode(D.shingles(F.col("text"), 5)).alias("g"))
+        .distinct()
+    )
+    train = docs.filter(bucket >= 5).select("doc_id", X.tokens(F.col("text")).alias("ws"))
+    # shared by the gram explode and the rebuild join — materialize once
+    train = train.localCheckpoint()
+    grams = (
+        train.filter(F.size("ws") >= 5)
+        .select("doc_id", "ws", F.explode(F.sequence(F.lit(1), F.size("ws") - 4)).alias("i"))
+        .select("doc_id", "i", F.array_join(F.slice(F.col("ws"), F.col("i"), 5), " ").alias("g"))
+    )
+    bad = (
+        grams.join(F.broadcast(eval_sh), "g")
+        .select("doc_id", F.explode(F.sequence(F.col("i") - 2, F.col("i") + 6)).alias("j"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("j").alias("bad_js"))
+    )
+    keep = F.filter(
+        F.sequence(F.lit(1), F.size("ws")),
+        lambda j: ~F.array_contains(F.col("bad_js"), j),
+    )
+    return (
+        train.join(bad, "doc_id")
+        .select(
+            "doc_id",
+            F.size("ws").cast("bigint").alias("n_tokens"),
+            (F.size("ws") - F.size(keep)).cast("bigint").alias("n_removed"),
+            F.array_join(
+                F.transform(keep, lambda j: F.element_at(F.col("ws"), j)), " "
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -1273,7 +1374,9 @@ def emb_knn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_multiprobe_oracle() -> str:
     ids = ", ".join(map(str, _KNN_QUERY_IDS))
-    masks = ", ".join(str(m) for m in [0] + [2**p for p in range(S.LSH_PLANES_PER_TABLE)])
+    masks = ", ".join(
+        str(m) for m in S.probe_masks(S.LSH_PLANES_PER_TABLE, S.MULTIPROBE_MAX_FLIPS)
+    )
     table_buckets = ", ".join(f"({_duck_bucket_expr(t)}) AS b{t}" for t in range(S.LSH_TABLES))
     cand_unions = " UNION ".join(
         f"""SELECT q.nid AS qid, c.nid AS nid FROM bucketed q
@@ -1542,6 +1645,229 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang_pred", "bucket")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "docs_repetition_filter",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' ' || repeat('spam ham ', 20)
+                  ELSE text END AS text
+      FROM documents),
+    t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM aug),
+    base AS (SELECT doc_id,
+                    CAST(length(array_to_string(ws, ' ')) AS BIGINT) AS base_chars,
+                    ws
+             FROM t),
+    grams AS (
+      SELECT doc_id, n,
+             unnest([array_to_string(ws[i:i+n-1], ' ')
+                     for i in range(1, greatest(len(ws) - n + 1, 0) + 1)]) AS g
+      FROM base, (SELECT unnest([2, 3, 4, 5]) AS n) ns),
+    counts AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cnt
+               FROM grams GROUP BY doc_id, n, g),
+    tops AS (SELECT doc_id, n, cnt * length(g) AS cov
+             FROM (SELECT doc_id, n, g, cnt,
+                          row_number() OVER (PARTITION BY doc_id, n
+                                             ORDER BY cnt DESC, g) AS rn
+                   FROM counts WHERE n <= 4)
+             WHERE rn = 1),
+    piv AS (SELECT doc_id,
+                   max(CASE WHEN n = 2 THEN cov END) AS cov2,
+                   max(CASE WHEN n = 3 THEN cov END) AS cov3,
+                   max(CASE WHEN n = 4 THEN cov END) AS cov4
+            FROM tops GROUP BY doc_id),
+    dup5 AS (SELECT doc_id, CAST(sum(cnt * length(g)) AS BIGINT) AS dup5_cov
+             FROM counts WHERE n = 5 AND cnt >= 2 GROUP BY doc_id)
+    SELECT b.doc_id, b.base_chars,
+           CAST((coalesce(cov2, 0) * 10000) // greatest(b.base_chars, 1) AS BIGINT) AS top2_bp,
+           CAST((coalesce(cov3, 0) * 10000) // greatest(b.base_chars, 1) AS BIGINT) AS top3_bp,
+           CAST((coalesce(cov4, 0) * 10000) // greatest(b.base_chars, 1) AS BIGINT) AS top4_bp,
+           CAST((coalesce(dup5_cov, 0) * 10000) // greatest(b.base_chars, 1) AS BIGINT) AS dup5_bp,
+           (coalesce(cov2, 0) * 10000) // greatest(b.base_chars, 1) <= 2000
+           AND (coalesce(cov3, 0) * 10000) // greatest(b.base_chars, 1) <= 1800
+           AND (coalesce(cov4, 0) * 10000) // greatest(b.base_chars, 1) <= 1600
+           AND (coalesce(dup5_cov, 0) * 10000) // greatest(b.base_chars, 1) <= 1500 AS keep
+    FROM base b
+    LEFT JOIN piv USING (doc_id)
+    LEFT JOIN dup5 USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filter (Rae et al. §A1.1): per-doc
+    characters covered by the top word {2,3,4}-gram and by duplicated
+    5-grams, in integer basis points, with the keep verdict at the
+    published thresholds. Docs with doc_id % 10 == 0 get a planted
+    repetition payload so the filter demonstrably fires. Scale shape:
+    one explode -> one (doc_id, n, gram) count with map-side combine ->
+    per-doc conditional agg; all shuffle keys are doc-rooted."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat("text", F.lit(" "), F.repeat(F.lit("spam ham "), 20)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return C.repetition_metrics(docs).orderBy("doc_id")
+
+
+@register(
+    "docs_pii_scrub",
+    """
+    WITH planted AS (
+      SELECT doc_id, text ||
+        CASE WHEN doc_id % 5 = 0
+             THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0
+             THEN ' hotline 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                '\\b555-[0-9]{4}\\b')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+                 '\\b555-[0-9]{4}\\b', '[PHONE]', 'g')) AS cleaned_md5
+    FROM planted ORDER BY doc_id
+    """,
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails/phones planted deterministically (doc_id
+    mod gates), counted and replaced with [EMAIL]/[PHONE] markers; the
+    cleaned text crosses the oracle boundary as md5. Pure scan-side
+    regexp columns — zero shuffles beyond the presentation sort."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" hotline 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        C.pii_scrub(docs)
+        .select("doc_id", "n_emails", "n_phones", F.md5("cleaned").alias("cleaned_md5"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_importance",
+    """
+    WITH toks AS (SELECT doc_id, (lang = 'en') AS is_tgt,
+                         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                  FROM documents),
+    vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS all_cnt,
+                     CAST(count(*) FILTER (WHERE is_tgt) AS BIGINT) AS tgt_cnt
+              FROM toks GROUP BY tok),
+    per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(tgt_cnt) AS BIGINT) AS tgt_hits,
+                       CAST(sum(all_cnt) AS BIGINT) AS all_hits
+                FROM toks JOIN vocab USING (tok) GROUP BY doc_id)
+    SELECT doc_id, n_tokens, tgt_hits, all_hits,
+           (tgt_hits * 1000000) // all_hits AS score_ppm
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def docs_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance scoring (Xie et al.): how target-like
+    (target = lang 'en') each doc's unigram profile is, as an
+    integer-exact ppm ratio of target-slice hits over corpus hits.
+    Vocab is a broadcast dim; the corpus never shuffles pre-agg."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return (
+        C.importance_score(docs, F.col("lang") == F.lit("en"))
+        .select("doc_id", "n_tokens", "tgt_hits", "all_hits", "score_ppm")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_mixture",
+    """
+    WITH by AS (SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY lang),
+    m AS (SELECT *, min(n_tokens) OVER () AS floor_tokens FROM by)
+    SELECT domain, n_docs, n_tokens,
+           CAST((floor_tokens * 10000) // n_tokens AS BIGINT) AS rate_bp,
+           CAST((n_tokens * ((floor_tokens * 10000) // n_tokens)) // 10000 AS BIGINT)
+               AS planned_tokens
+    FROM m ORDER BY domain
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture plan: equalize per-language token budgets to the
+    smallest domain (rate capped at 1x), integer-exact. The corpus
+    reduces to a k-domain table scan-side; only k narrow rows cross
+    the global-min window."""
+    docs = load(spark, sf_dir, "documents")
+    return C.mixture_plan(docs, "lang").orderBy("domain")
+
+
+@register(
+    "emb_knn_ivf",
+    f"""
+    WITH c0 AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ne FROM embeddings),
+    cents AS (SELECT nid AS cid, ne AS ce FROM c0 WHERE nid < {C.IVF_K}),
+    csims AS (SELECT c0.nid, cents.cid,
+                     round(list_inner_product(ne, ce) /
+                           (sqrt(list_inner_product(ne, ne)) *
+                            sqrt(list_inner_product(ce, ce))), 6) AS sim
+              FROM c0, cents),
+    asgn AS (SELECT nid, cid FROM (
+               SELECT nid, cid,
+                      row_number() OVER (PARTITION BY nid ORDER BY sim DESC, cid) AS rn
+               FROM csims) WHERE rn = 1),
+    probes AS (SELECT nid AS qid, cid FROM (
+                 SELECT nid, cid,
+                        row_number() OVER (PARTITION BY nid ORDER BY sim DESC, cid) AS rn
+                 FROM csims WHERE nid IN ({", ".join(map(str, _KNN_QUERY_IDS))}))
+               WHERE rn <= {C.IVF_NPROBE}),
+    cand AS (SELECT p.qid, a.nid FROM probes p JOIN asgn a USING (cid)
+             WHERE a.nid != p.qid),
+    sims AS (SELECT cand.qid, cand.nid,
+                    round(list_inner_product(q.ne, c.ne) /
+                          (sqrt(list_inner_product(q.ne, q.ne)) *
+                           sqrt(list_inner_product(c.ne, c.ne))), 6) AS sim
+             FROM cand JOIN c0 q ON q.nid = cand.qid JOIN c0 c ON c.nid = cand.nid)
+    SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank FROM (
+      SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+      FROM sims)
+    WHERE rnk <= 5 ORDER BY query_id, rank
+    """,
+)
+def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (the faiss coarse-quantizer layout, the brief's
+    named alternative to LSH): corpus vectors inverted-listed under
+    their nearest of K=16 centroids; each query probes its nprobe=3
+    nearest lists with exact cosine. Assignment is a row-wise
+    expression over centroid literals (zero shuffles); candidates flow
+    through one BroadcastHashJoin on the list id."""
+    emb = load(spark, sf_dir, "embeddings")
+    return C.ivf_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
 
 
 @register(
@@ -2354,6 +2680,81 @@ def png_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wav_real_features",
+    """
+    WITH params AS (
+      SELECT doc_id, (doc_id % 31) + 1 AS k, 800 + (doc_id % 5) * 160 AS n,
+             (doc_id % 2) + 1 AS ch
+      FROM documents),
+    vals AS (
+      SELECT p.doc_id, ((x.i * p.k + 7 * y.c) % 2001) - 1000 AS v
+      FROM params p CROSS JOIN range(1440) x(i) CROSS JOIN range(2) y(c)
+      WHERE x.i < p.n AND y.c < p.ch),
+    agg AS (
+      SELECT doc_id, max(abs(v)) AS peak, CAST(sum(v * v) AS BIGINT) AS sum_sq
+      FROM vals GROUP BY doc_id)
+    SELECT CAST(p.doc_id AS VARCHAR) AS doc_id,
+           8000 AS sample_rate,
+           CAST(p.ch AS INT) AS channels,
+           CAST(p.n AS INT) AS n_frames,
+           CAST(p.n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(44 + p.n * p.ch * 2 AS BIGINT) AS wav_bytes,
+           CAST(a.peak AS INT) AS peak,
+           a.sum_sq
+    FROM params p JOIN agg a USING (doc_id) ORDER BY doc_id
+    """,
+)
+def wav_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal AUDIO decode REAL end-to-end (the second real modality
+    after PNG): per doc, a deterministic PCM signal is synthesized from
+    an integer formula, encode_wav writes a spec-valid RIFF/WAVE file,
+    decode_wav walks the chunk list back, and ALL output features
+    (sample_rate, channels, frames, duration, peak, sum of squares) are
+    computed from the DECODED samples — a codec bug anywhere breaks the
+    hash. Features are integer-exact (no float RMS) so the oracle
+    replays the signal formula in closed form with zero parity risk.
+    At 100 TB: audio bytes never shuffle (synth+codec+stats inside one
+    mapInPandas), only 8 narrow columns leave the scan stage."""
+    import numpy as np
+
+    from .sources.wavcodec import encode_wav, wav_stats
+
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id"), spark)
+
+    def synth_and_scan(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k, n, ch = (d % 31) + 1, 800 + (d % 5) * 160, (d % 2) + 1
+                i = np.arange(n, dtype=np.int64)[:, None]
+                c = np.arange(ch, dtype=np.int64)[None, :]
+                sig = ((i * k + 7 * c) % 2001) - 1000
+                blob = encode_wav(sig, 8000)
+                st = wav_stats(blob)
+                rows.append(
+                    (str(d), st["sample_rate"], st["channels"], st["n_frames"],
+                     st["duration_ms"], len(blob), st["peak"], st["sum_sq"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channels", "n_frames",
+                         "duration_ms", "wav_bytes", "peak", "sum_sq"],
+            )
+
+    return (
+        docs.mapInPandas(
+            synth_and_scan,
+            "doc_id string, sample_rate int, channels int, n_frames int, "
+            "duration_ms bigint, wav_bytes bigint, peak int, sum_sq bigint",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "docx_real_chunks",
     """
     WITH base AS (
@@ -3122,7 +3523,7 @@ def streaming_politeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEDIA_ITEMS_SQL = f"""
       SELECT CAST(doc_id AS VARCHAR) AS doc_id,
              {_MEDIA_REF_SQL} AS media_ref,
-             CASE (j * 5 - 1) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+             CASE (doc_id + j * 5 - 1) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
       FROM (
         SELECT doc_id, unnest(generate_series(1, nt // 4)) AS j
         FROM (SELECT doc_id, CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INT) AS nt
@@ -3134,26 +3535,38 @@ _MEDIA_ITEMS_SQL = f"""
 @register(
     "media_features",
     f"""
-    WITH items AS ({_MEDIA_ITEMS_SQL})
+    WITH items AS ({_MEDIA_ITEMS_SQL}),
+    sig AS (
+      SELECT doc_id, media_ref, kind,
+             CAST(('0x' || substr(md5(doc_id || '|' || media_ref), 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(md5(doc_id || '|' || media_ref), 3, 2)) AS INT) AS s1
+      FROM items)
     SELECT doc_id, media_ref, kind,
-           CAST(4096 AS BIGINT) AS n_bytes,
-           'fake' AS format,
-           64 + CAST(('0x' || substr(md5(doc_id || '|' || media_ref), 1, 2)) AS INT) AS width,
-           64 + CAST(('0x' || substr(md5(doc_id || '|' || media_ref), 3, 2)) AS INT) AS height
-    FROM items ORDER BY doc_id, media_ref
+           CASE kind WHEN 'image' THEN 'png' WHEN 'audio' THEN 'wav' ELSE 'fake' END AS format,
+           CAST(CASE kind WHEN 'image' THEN 8 + s0 % 8
+                          WHEN 'audio' THEN 64 + s0 % 64
+                          ELSE 64 + s0 END AS INT) AS width,
+           CAST(CASE kind WHEN 'image' THEN 6 + s1 % 4
+                          WHEN 'audio' THEN 1 + s1 % 2
+                          ELSE 64 + s1 END AS INT) AS height
+    FROM sig ORDER BY doc_id, media_ref
     """,
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: media worklist from the span model
-    → synthetic opaque binary blobs → mapInPandas decode-stub +
-    metadata extraction. Binary never crosses a shuffle; the oracle
-    checks the metadata contract (dims derive from the blob seed)."""
+    """Multimodal metadata extraction on REAL bytes (r05, was fake-blob):
+    media worklist from the span model → per-kind blobs (image = real
+    PNG, audio = real PCM WAV, video = deterministic fake — ffmpeg is
+    the documented boundary) → mapInPandas decode + metadata. The
+    reported dims come from the DECODERS (PNG unfilter, RIFF chunk
+    walk), the oracle from the synthesis formulas — a codec bug on
+    either side breaks the hash. Binary never crosses a shuffle; only
+    narrow metadata leaves the scan stage."""
     from .multimodal import extract_features, media_from_documents, synth_media
 
-    media = synth_media(spark, media_from_documents(spark, sf_dir))
+    media = synth_media(spark, media_from_documents(spark, sf_dir), real_codecs=True)
     return (
         extract_features(media)
-        .select("doc_id", "media_ref", "kind", "n_bytes", "format", "width", "height")
+        .select("doc_id", "media_ref", "kind", "format", "width", "height")
         .orderBy("doc_id", "media_ref")
     )
 
@@ -3165,15 +3578,20 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, media_ref,
            CAST(2 AS BIGINT) AS n_frames_kept,     -- ceil(4096/512)=8 frames, every 4th → idx 0,4
            CAST(1024 AS BIGINT) AS frame_bytes_total
-    FROM items ORDER BY doc_id, media_ref
+    FROM items WHERE kind = 'video' ORDER BY doc_id, media_ref
     """,
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling over opaque blobs (decode stubbed,
-    batch shape real): 512-byte frames, every 4th kept."""
+    """Video frame sampling over opaque blobs: 512-byte frames, every
+    4th kept. Since r05 this runs on VIDEO items only (image/audio now
+    decode for real in media_features; real video frame extraction
+    needs ffmpeg — the chunk sampler exercises the identical Spark
+    batch shape over the deterministic stand-in)."""
     from .multimodal import media_from_documents, sample_frames, synth_media
 
-    media = synth_media(spark, media_from_documents(spark, sf_dir))
+    media = synth_media(
+        spark, media_from_documents(spark, sf_dir).filter(F.col("kind") == "video")
+    )
     return (
         sample_frames(media)
         .groupBy("doc_id", "media_ref")
@@ -3769,8 +4187,20 @@ _DRIVER_TAIL: tuple[str, ...] = (
     "docs_fingerprint",
     "docs_lang_id",
     # dedup family: lsh_pairs + ngram_jaccard + simhash stay in the head
+    # (lsh_bucket_stats demoted r05 to make room for docs_decontaminate_spans;
+    # docs_decontaminate demoted r05 — the spans variant is the strictly
+    # stronger head representative — making room for docs_repetition_filter)
     "docs_minhash_sigs",
     "docs_simhash_hamming",
+    "lsh_bucket_stats",
+    "docs_decontaminate",
+    # corpus-curation second-strings (r05): repetition_filter is the head
+    # rep; PII / importance / mixture / IVF are judge-verified via
+    # tools/verify_oracle.py outside the 50-query driver window
+    "docs_pii_scrub",
+    "docs_importance",
+    "corpus_mixture",
+    "emb_knn_ivf",
     # ANN family: bruteforce + multiprobe (strongest variant) stay in the head
     "emb_knn_lsh",
     "emb_knn_multitable",
@@ -3788,8 +4218,11 @@ _DRIVER_TAIL: tuple[str, ...] = (
     "table_markdown",
     # F2 fold: docs_full_pipeline (the end-to-end form) stays in the head
     "docs_postprocess",
-    # media family: media_features + media_ocr_route stay in the head
+    # media family: media_ocr_route + png_real_features + wav_real_features
+    # + pdf_page_raster stay in the head (media_features demoted r05 to
+    # make room for wav_real_features — the real-codec audio variant)
     "media_frame_sample",
+    "media_features",
 )
 
 

@@ -32,7 +32,7 @@ def recall(approx: dict[int, set[int]], exact: dict[int, set[int]], k: int) -> f
     return sum(per) / len(per)
 
 
-def cand_avg(vecs, probes: list[int], multiprobe: bool) -> float:
+def cand_avg(vecs, probes: list[int], multiprobe: int) -> float:
     """Average candidate-set size per query (the cost side of the
     recall/cost tradeoff), mirroring the operators' candidate stage."""
     buckets = vecs.select(
@@ -46,7 +46,7 @@ def cand_avg(vecs, probes: list[int], multiprobe: bool) -> float:
     ).select("nid", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
     qn = narrow.filter(F.col("nid").isin(probes)).select(F.col("nid").alias("qid"), "t", "b")
     if multiprobe:
-        masks = [0] + [2**p for p in range(S.LSH_PLANES_PER_TABLE)]
+        masks = S.probe_masks(S.LSH_PLANES_PER_TABLE, multiprobe)
         qn = qn.select(
             "qid", "t",
             F.explode(F.array(*[F.col("b").bitwiseXOR(F.lit(m)) for m in masks])).alias("b"),
@@ -97,7 +97,8 @@ def main() -> None:
 
     single = topk_sets(S.lsh_ann_topk(emb, probes, k=k))
     multi = topk_sets(S.lsh_multitable_topk(emb, probes, k=k))
-    multiprobe = topk_sets(S.lsh_multiprobe_topk(emb, probes, k=k))
+    multiprobe = topk_sets(S.lsh_multiprobe_topk(emb, probes, k=k, max_flips=1))
+    multiprobe2 = topk_sets(S.lsh_multiprobe_topk(emb, probes, k=k, max_flips=2))
 
     single_b = vecs.withColumn("bucket", S.lsh_bucket(F.col("ne")))
     sizes1 = single_b.groupBy("bucket").count().agg(F.avg("count")).collect()[0][0]
@@ -107,14 +108,17 @@ def main() -> None:
     print(f"single-table ({S.LSH_PLANES} planes):   recall@{k} = {recall(single, exact, k):.3f}  "
           f"(avg bucket {sizes1:.0f} of {n})")
     print(f"multi-table ({S.LSH_TABLES}x{S.LSH_PLANES_PER_TABLE} planes): recall@{k} = "
-          f"{recall(multi, exact, k):.3f}  (avg candidates {cand_avg(vecs, probes, False):.0f})")
+          f"{recall(multi, exact, k):.3f}  (avg candidates {cand_avg(vecs, probes, 0):.0f})")
     print(f"multi-probe (same index, flip<=1): recall@{k} = "
-          f"{recall(multiprobe, exact, k):.3f}  (avg candidates {cand_avg(vecs, probes, True):.0f})")
+          f"{recall(multiprobe, exact, k):.3f}  (avg candidates {cand_avg(vecs, probes, 1):.0f})")
+    print(f"multi-probe (same index, flip<=2): recall@{k} = "
+          f"{recall(multiprobe2, exact, k):.3f}  (avg candidates {cand_avg(vecs, probes, 2):.0f})")
     if strong:
         print(f"strong neighbors (cos>=0.9, n={n_strong}): "
               f"single recall = {recall(single, strong, k):.3f}, "
               f"multi recall = {recall(multi, strong, k):.3f}, "
-              f"multiprobe recall = {recall(multiprobe, strong, k):.3f}")
+              f"multiprobe recall = {recall(multiprobe, strong, k):.3f}, "
+              f"multiprobe2 recall = {recall(multiprobe2, strong, k):.3f}")
     else:
         print("strong neighbors (cos>=0.9): none among exact top-k for these probes")
 
@@ -127,7 +131,7 @@ def main() -> None:
         S.HYPERPLANE_TABLES = S._make_hyperplanes(20, S.LSH_PLANES_PER_TABLE, 99)
         S.LSH_TABLES = 20
         big = topk_sets(S.lsh_multitable_topk(emb, probes, k=k))
-        big_cand = cand_avg(vecs, probes, False)
+        big_cand = cand_avg(vecs, probes, 0)
         print(f"equal-budget control (20x{S.LSH_PLANES_PER_TABLE} tables): recall@{k} = "
               f"{recall(big, exact, k):.3f}  (avg candidates {big_cand:.0f})")
     finally:

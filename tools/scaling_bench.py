@@ -93,15 +93,29 @@ def main() -> None:
         for cpus in (8, 32):
             out = subprocess.run(
                 [sys.executable, __file__, "--one", str(cpus), str(n_urls)],
-                capture_output=True, text=True, check=True,
+                capture_output=True, text=True, check=False,
             )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            res = json.loads(line)
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if out.returncode != 0 or not lines:
+                # a leg dying (executor OOM, co-tenant kill) must not lose
+                # the other legs' measurements — record the failure + the
+                # stderr tail and keep going
+                print(json.dumps({
+                    "round": rnd, "cpus": cpus, "n_urls": n_urls,
+                    "error": f"leg exited {out.returncode}",
+                    "stderr_tail": out.stderr[-2000:],
+                }))
+                continue
+            res = json.loads(lines[-1])
             print(json.dumps({"round": rnd, **res}))
             pair[cpus] = res
             if cpus not in best or res["sec"] < best[cpus]["sec"]:
                 best[cpus] = res
-        pair_effs.append(round(pair[32]["urls_per_sec"] / pair[8]["urls_per_sec"] / 4, 3))
+        if 8 in pair and 32 in pair:
+            pair_effs.append(round(pair[32]["urls_per_sec"] / pair[8]["urls_per_sec"] / 4, 3))
+    if 8 not in best or 32 not in best:
+        print(json.dumps({"error": "no complete pair measured", "have": sorted(best)}))
+        return
     tp8 = best[8]["urls_per_sec"]
     tp32 = best[32]["urls_per_sec"]
     speedup = tp32 / tp8
