@@ -58,6 +58,19 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert rows[3].n_emails == 0 and rows[3].cleaned == "nothing sensitive here"
 
 
+def test_pii_scrub_is_case_insensitive(spark):
+    # ADVICE r05: lowercase-only EMAIL_RE let 'Alice.W@Corp.example.org'
+    # escape redaction entirely
+    docs = spark.createDataFrame(
+        [(1, "mail Alice.W@Corp.example.ORG or LEGAL@EX.IO today")],
+        "doc_id long, text string",
+    )
+    row = C.pii_scrub(docs).collect()[0]
+    assert row.n_emails == 2
+    assert "Alice" not in row.cleaned and "LEGAL@" not in row.cleaned
+    assert row.cleaned.count("[EMAIL]") == 2
+
+
 def test_importance_score_prefers_target_like_docs(spark):
     # target slice speaks (aa bb); off-target speaks (zz yy); probe docs
     # share vocabulary with one side only
@@ -120,3 +133,39 @@ def test_ivf_default_nprobe_recall(spark):
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
     assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_lloyd_step_moves_centroids_toward_list_means(spark):
+    """r06: one distributed k-means iteration over the first-K seeds.
+    The trained centroid of each non-empty list must equal the
+    integer-exact mean (sum(round(x*1e6))/(n*1e6)) of its members under
+    the SEED assignment — verified independently in numpy."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seeds = C._centroids(emb, "vec_id", "embedding", lloyd_steps=0)
+    trained = C._centroids(emb, "vec_id", "embedding", lloyd_steps=1)
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    seed_mat = np.array([ce for _, ce in seeds])
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    members: dict[int, list[np.ndarray]] = {}
+    for vid, v in vecs.items():
+        sims = [cos(v, c) for c in seed_mat]
+        best = max(range(len(sims)), key=lambda i: (sims[i], -i))
+        members.setdefault(best, []).append(v)
+    for idx, (cid, ce) in enumerate(trained):
+        if idx in members:
+            m = np.stack(members[idx])
+            # HALF_UP rounding to match Spark/DuckDB round()
+            q = np.floor(np.abs(m) * 1e6 + 0.5) * np.sign(m)
+            want = q.sum(axis=0) / (len(m) * 1e6)
+            assert np.array_equal(np.array(ce), want), f"cid {cid}"
+        else:
+            assert ce == list(seed_mat[idx]), f"empty list {cid} must keep seed"
+    assert any(
+        t != s for (_, t), (_, s) in zip(trained, seeds)
+    ), "training changed nothing — assignment or mean step is dead"

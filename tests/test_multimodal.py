@@ -129,8 +129,8 @@ def test_real_codec_media_features(spark):
             assert r.format == "wav"
             assert (r.width, r.height) == (64 + s0 % 64, 1 + s1 % 2)
         else:
-            assert r.format == "fake"
-            assert (r.width, r.height) == (64 + s0, 64 + s1)
+            assert r.format == "avi"
+            assert (r.width, r.height) == (8 + s0 % 5, 6 + s1 % 3)
     # magics prove the blobs really are the claimed containers
     for r in media.collect():
         b = bytes(r.content)
@@ -139,5 +139,27 @@ def test_real_codec_media_features(spark):
         elif r.kind == "audio":
             assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
         else:
-            assert b[:4] == b"FAKE"
+            assert b[:4] == b"RIFF" and b[8:12] == b"AVI "
+    media.unpersist()
+
+
+def test_real_avi_frames_sampled_from_decoded_video(spark):
+    """r06: video items are spec-valid uncompressed-DIB AVIs; the frame
+    sampler walks ACTUAL decoded frames (every 2nd), with frame_bytes =
+    w*h*3 of the decoded canonical RGB — not byte chunks of the blob."""
+    media = synth_media(
+        spark, media_from_documents(spark, SF), real_codecs=True
+    ).filter("kind = 'video'").cache()
+    frames = sample_frames(media, every_k=2).collect()
+    assert frames, "no video items at this SF"
+    by_item = {}
+    for r in frames:
+        by_item.setdefault((r.doc_id, r.media_ref), []).append(r)
+    for (doc_id, ref), rs in by_item.items():
+        seed = hashlib.md5(f"{doc_id}|{ref}".encode()).digest()
+        s0, s1 = seed[0], seed[1]
+        w, h, nf = 8 + s0 % 5, 6 + s1 % 3, 3 + s0 % 4
+        assert sorted(r.frame_idx for r in rs) == list(range(0, nf, 2))
+        assert all(r.frame_bytes == w * h * 3 for r in rs)
+        assert len({r.frame_md5 for r in rs}) == len(rs)  # frames differ (t term)
     media.unpersist()

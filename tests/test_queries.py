@@ -114,16 +114,17 @@ DRIVER_HEAD_50 = [
     "emb_knn_bruteforce", "emb_knn_multiprobe", "emb_cosine_near_dup",
     "emb_dup_clusters", "corpus_manifest", "corpus_sample",
     "docs_repetition_filter",
-    "spans_lookahead_media", "spans_lookback_title",
+    "spans_lookback_title",
     "docs_paragraph_merge_exact", "html_extract_docs",
     "table_header_tiers", "table_annex_title", "table_chunks",
     "xlsx_real_sheets", "pdf_real_text", "png_real_features",
-    "wav_real_features", "docx_real_chunks", "pdf_table_extract",
+    "wav_real_features", "avi_real_frames", "docx_real_chunks",
+    "pdf_table_extract",
     "table_sections", "order_value_quantiles", "salted_host_agg",
-    "crawl_engine_demo", "streaming_events_hourly", "streaming_seen_dedup",
+    "crawl_engine_demo", "crawl_dedup_pairs",
+    "streaming_events_hourly", "streaming_seen_dedup",
     "streaming_politeness", "media_ocr_route", "pdf_page_raster",
     "docs_full_pipeline", "ocr_golden_compare", "upload_statuses",
-    "ocr_cost_summary",
 ]
 
 
@@ -151,4 +152,82 @@ def test_driver_head_is_exactly_fifty():
     assert len(head) == 50, (
         f"head is {len(head)} queries; the driver gates exactly 50 — "
         "rebalance _DRIVER_TAIL"
+    )
+
+
+# COVERAGE.md's family map as DATA (r06, VERDICT ask #7): every operator
+# family gets exactly ONE representative inside the driver-gated head-50.
+# A promotion into the head must name which family the newcomer represents
+# (or which two families merged) HERE — otherwise demoting a second-string
+# silently orphans a family from the driver gate.
+FAMILY_REPRESENTATIVE = {
+    "tpch-agg": "q1_pricing_summary",
+    "tpch-join-topk": "q3_top_orders",
+    "grouping-sets": "rollup_returns",
+    "pivot": "events_pivot_by_type",
+    "sessionization": "events_sessionize",
+    "url-canonicalize": "url_canonicalize",
+    "frontier-ranking": "frontier_rank",
+    "robots": "robots_filter",
+    "seen-antijoin": "seen_antijoin",
+    "span-model": "spans_build",
+    "exact-dedup": "dedup_exact",
+    "text-quality": "docs_quality",
+    "rolling-fingerprint": "docs_rolling_fp",
+    "minhash-lsh": "docs_minhash_lsh_pairs",
+    "ngram-jaccard": "docs_ngram_jaccard",
+    "decontamination": "docs_decontaminate_spans",
+    "simhash": "docs_simhash",
+    "ann-exact": "emb_knn_bruteforce",
+    "ann-lsh": "emb_knn_multiprobe",
+    "cosine-near-dup": "emb_cosine_near_dup",
+    "dup-clusters": "emb_dup_clusters",
+    "shard-packing": "corpus_manifest",
+    "stratified-sampling": "corpus_sample",
+    "gopher-repetition": "docs_repetition_filter",
+    # r06: span-lookahead merged into span-windows (lookback is the head
+    # rep; spans_lookahead_media judge-verified in the tail) to make room
+    # for the avi-codec family
+    "span-windows": "spans_lookback_title",
+    "paragraph-merge": "docs_paragraph_merge_exact",
+    "html-extract": "html_extract_docs",
+    "table-header-tiers": "table_header_tiers",
+    "annex-title": "table_annex_title",
+    "table-chunking": "table_chunks",
+    "xlsx-codec": "xlsx_real_sheets",
+    "pdf-text-codec": "pdf_real_text",
+    "png-codec": "png_real_features",
+    "wav-codec": "wav_real_features",
+    "avi-codec": "avi_real_frames",
+    "docx-codec": "docx_real_chunks",
+    "pdf-table": "pdf_table_extract",
+    "table-sections": "table_sections",
+    "exact-quantiles": "order_value_quantiles",
+    "skew-salting": "salted_host_agg",
+    "crawl-engine": "crawl_engine_demo",
+    "crawl-dedup": "crawl_dedup_pairs",
+    "streaming-agg": "streaming_events_hourly",
+    "streaming-dedup": "streaming_seen_dedup",
+    "streaming-politeness": "streaming_politeness",
+    "media-routing": "media_ocr_route",
+    "pdf-raster": "pdf_page_raster",
+    "full-pipeline": "docs_full_pipeline",
+    # r06: cost-summary merged into ocr-accounting (golden-compare is the
+    # head rep; ocr_cost_summary judge-verified in the tail) to make room
+    # for the crawl-dedup family
+    "ocr-accounting": "ocr_golden_compare",
+    "upload-sink": "upload_statuses",
+}
+
+
+def test_every_family_has_exactly_one_head_representative():
+    reps = list(FAMILY_REPRESENTATIVE.values())
+    assert len(reps) == len(set(reps)), "two families share a representative"
+    head = set(list(Q.get_queries())[:50])
+    missing = {f: r for f, r in FAMILY_REPRESENTATIVE.items() if r not in head}
+    assert not missing, f"families whose representative fell out of the head: {missing}"
+    unmapped = head - set(reps)
+    assert not unmapped, (
+        f"head queries representing no family: {unmapped} — add/merge a "
+        "family entry in FAMILY_REPRESENTATIVE"
     )

@@ -72,3 +72,32 @@ def test_malformed_raises(mutate):
     blob = encode_wav(_sig(8, 1), 8000)
     with pytest.raises(WavFormatError):
         decode_wav(mutate(blob))
+
+
+def test_trailing_garbage_after_riff_payload_is_ignored():
+    """ADVICE r05: the walk must stop at 8+riff_size — a spurious 'data'
+    chunk appended AFTER the declared payload must not replace the real
+    samples."""
+    sig = _sig(10, 1)
+    blob = encode_wav(sig, 8000)
+    fake = b"data" + struct.pack("<I", 4) + struct.pack("<hh", 9999, -9999)
+    arr, rate = decode_wav(blob + fake)
+    assert np.array_equal(arr, sig.astype(np.int16))
+
+
+def test_duplicate_data_chunk_inside_payload_raises():
+    sig = _sig(6, 1)
+    blob = encode_wav(sig, 8000)
+    dup = b"data" + struct.pack("<I", 2) + struct.pack("<h", 7)
+    patched = blob + dup
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    with pytest.raises(WavFormatError, match="duplicate data"):
+        decode_wav(patched)
+
+
+def test_encode_out_of_int16_range_raises():
+    """ADVICE r05: astype('<i2') would silently wrap 40000 → -25536."""
+    with pytest.raises(WavFormatError, match="int16 range"):
+        encode_wav(np.array([0, 40000], dtype=np.int64), 8000)
+    with pytest.raises(WavFormatError, match="int16 range"):
+        encode_wav(np.array([-32769], dtype=np.int64), 8000)

@@ -57,14 +57,15 @@ def synth_media(
     upload_pdf_to_s3.py (blob length is closed-form, which the base64
     payload contract of route_media relies on).
 
-    real_codecs=True (r05): image items become spec-valid PNGs
-    (sources/pngcodec) and audio items spec-valid PCM WAVs
-    (sources/wavcodec), both with seed-derived dims/params and pixel/
-    sample formulas an oracle can replay; video stays the deterministic
-    fake (a real video container needs ffmpeg — the documented
-    environmental boundary)."""
+    real_codecs=True (r05; video r06): image items become spec-valid
+    PNGs (sources/pngcodec), audio items spec-valid PCM WAVs
+    (sources/wavcodec), and video items spec-valid uncompressed-DIB
+    AVIs (sources/avicodec) — all with seed-derived dims/params and
+    pixel/sample formulas an oracle can replay. The remaining ffmpeg
+    boundary is COMPRESSED video (MJPEG/H.264), not the container."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .sources.avicodec import encode_avi
         from .sources.pngcodec import encode_png
         from .sources.wavcodec import encode_wav
 
@@ -91,6 +92,16 @@ def synth_media(
                     i = np.arange(n, dtype=np.int64)[:, None]
                     c = np.arange(ch, dtype=np.int64)[None, :]
                     blob = encode_wav(((i * (s0 + 1) + 7 * c) % 2001) - 1000, 8000)
+                elif real_codecs and kind == "video":
+                    w, h, n_fr = 8 + s0 % 5, 6 + s1 % 3, 3 + s0 % 4
+                    t = np.arange(n_fr)[:, None, None, None]
+                    i = np.arange(h)[None, :, None, None]
+                    j = np.arange(w)[None, None, :, None]
+                    c = np.arange(3)[None, None, None, :]
+                    vid = ((s0 * (c + 1) + 2 * t + 3 * i + 7 * j + 5 * c + s1) % 256).astype(
+                        np.uint8
+                    )
+                    blob = encode_avi(vid, 10)
                 else:
                     header = b"FAKE" + bytes([s0, s1]) + kind[:1].encode()
                     body = (seed * (bytes_per_item // 16 + 1))[: bytes_per_item - len(header)]
@@ -121,11 +132,17 @@ def decode_stub(content: bytes, real_decoders: bool = False) -> tuple[str, int, 
 
         arr, _rate = decode_wav(content)
         return "wav", int(arr.shape[0]), int(arr.shape[1])
+    if len(content) >= 12 and content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        from .sources.avicodec import decode_avi
+
+        frames, _fps = decode_avi(content)
+        return "avi", int(frames.shape[2]), int(frames.shape[1])
     if real_decoders:
         raise NotImplementedError(
-            "JPEG/video/PDF-raster decoding requires PIL/ffmpeg/PyMuPDF — not in this "
-            "container; PNG decodes for real above, the deterministic fake below "
-            "exercises the identical Spark plumbing for the rest"
+            "JPEG/compressed-video/PDF-raster decoding requires PIL/ffmpeg/PyMuPDF — "
+            "not in this container; PNG, PCM WAV and uncompressed-DIB AVI decode for "
+            "real above, the deterministic fake below exercises the identical Spark "
+            "plumbing for the rest"
         )
     if content[:4] == b"FAKE":
         return "fake", 64 + content[4], 64 + content[5]
@@ -155,18 +172,36 @@ def extract_features(media: DataFrame, real_decoders: bool = False) -> DataFrame
 
 
 def sample_frames(media: DataFrame, frame_size: int = 512, every_k: int = 4) -> DataFrame:
-    """Video-style frame sampling: split the blob into frame_size chunks,
-    keep every k-th (the decode step proper is the stub above)."""
+    """Video frame sampling, keep every k-th frame (the reference picks
+    golden sample pages the same way — ocr/sample_ocr_5pages.py:104-107).
+
+    RIFF/AVI blobs decode FOR REAL (sources/avicodec, r06): frame_idx
+    walks actual decoded frames, frame_bytes is the canonical RGB
+    payload size, frame_md5 = md5 over the lowercase hex of the decoded
+    pixels (the DuckDB-replayable form — see avi_frame_stats). Non-AVI
+    blobs keep the byte-chunk sampler (compressed codecs = the ffmpeg
+    boundary). Binary never leaves the scan-side pass either way."""
 
     def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .sources.avicodec import decode_avi
+
         for pdf in it:
             rows = []
             for doc_id, ref, content in zip(pdf["doc_id"], pdf["media_ref"], pdf["content"]):
                 b = bytes(content)
-                n_frames = (len(b) + frame_size - 1) // frame_size
-                for idx in range(0, n_frames, every_k):
-                    chunk = b[idx * frame_size : (idx + 1) * frame_size]
-                    rows.append((doc_id, ref, idx, len(chunk), hashlib.md5(chunk).hexdigest()))
+                if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    vid, _fps = decode_avi(b)
+                    for idx in range(0, vid.shape[0], every_k):
+                        raw = vid[idx].tobytes()
+                        rows.append(
+                            (doc_id, ref, idx, len(raw),
+                             hashlib.md5(raw.hex().encode()).hexdigest())
+                        )
+                else:
+                    n_frames = (len(b) + frame_size - 1) // frame_size
+                    for idx in range(0, n_frames, every_k):
+                        chunk = b[idx * frame_size : (idx + 1) * frame_size]
+                        rows.append((doc_id, ref, idx, len(chunk), hashlib.md5(chunk).hexdigest()))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "media_ref", "frame_idx", "frame_bytes", "frame_md5"]
             )

@@ -30,12 +30,17 @@ from .textstats import tokens
 # Gopher repetition rules
 
 
-def ngrams(text: Column, n: int) -> Column:
-    """NON-distinct word n-gram array (counting duplicates is the whole
-    point of the repetition rules — dedup.shingles() is the distinct
-    variant). Same short-doc guard: < n tokens → empty array, never an
-    ANSI descending-sequence slice error."""
-    toks = tokens(text)
+def ngrams_of(toks: Column, n: int) -> Column:
+    """NON-distinct word n-grams from an ALREADY-TOKENIZED array column
+    (counting duplicates is the whole point of the repetition rules —
+    dedup.shingles() is the distinct variant). Short-doc guard: < n
+    tokens → empty array, never an ANSI descending-sequence slice error.
+
+    Taking the token array (not raw text) lets callers tokenize ONCE and
+    derive every gram size from the shared array — higher-order-function
+    lambdas block Spark's physical subexpression elimination, so repeated
+    `tokens(text)` subtrees each re-run the regex split (r05's 5×-pass
+    waste in repetition_metrics)."""
     k = F.size(toks) - (n - 1)
     return F.when(
         k >= 1,
@@ -44,6 +49,11 @@ def ngrams(text: Column, n: int) -> Column:
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def ngrams(text: Column, n: int) -> Column:
+    """Convenience wrapper: tokenize then n-gram (single-gram-size use)."""
+    return ngrams_of(tokens(text), n)
 
 
 # Gopher §A1.1 repetition thresholds (basis points of characters):
@@ -63,26 +73,43 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
       dup5_bp — characters covered by ALL 5-grams occurring >= 2 times;
       keep — true iff every metric is within its Gopher threshold.
 
-    Scale shape: one explode of the four gram sizes -> one
-    groupBy(doc_id, n, gram) count (map-side partial agg) -> per-doc
-    window/conditional agg. Gram rows are narrow (ids + short strings);
-    both shuffles key on doc_id-rooted keys so skew follows document
-    length, not corpus size.
+    Scale shape: tokenize ONCE into a localCheckpointed (doc_id, toks)
+    projection — higher-order lambdas defeat physical subexpression
+    elimination, so without the materialization barrier Catalyst's
+    CollapseProject re-inlines `tokens(text)` into every consumer (the
+    r05 plan ran the regex split ~5× per doc and was the slowest
+    registry entry at 36 s). Both branches (gram explode + base_chars
+    join) read the checkpoint. Then: one explode of the four gram
+    sizes -> one groupBy(doc_id, n, gram) count (map-side partial agg)
+    -> per-doc window/conditional agg. Gram rows are narrow (ids +
+    short strings); both shuffles key on doc_id-rooted keys so skew
+    follows document length, not corpus size. At 100 TB the checkpoint
+    becomes a persist(DISK) / intermediate parquet of the token arrays
+    (~= input size) — still 1× tokenization instead of 5×.
     """
     def tag(n: int):
         # closure factory: a default-arg lambda would have arity 2 and
         # F.transform would bind the ARRAY INDEX to it
         return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
 
-    base = docs.select(
+    toks_df = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).localCheckpoint()
+    base = toks_df.select(
         "doc_id",
-        F.length(F.array_join(tokens(F.col("text")), " ")).cast("bigint").alias("base_chars"),
-        F.flatten(
-            F.array(*[F.transform(ngrams(F.col("text"), n), tag(n)) for n in (2, 3, 4, 5)])
-        ).alias("grams"),
+        F.length(F.array_join("toks", " ")).cast("bigint").alias("base_chars"),
     )
     counts = (
-        base.select("doc_id", F.explode("grams").alias("ng"))
+        toks_df.select(
+            "doc_id",
+            F.explode(
+                F.flatten(
+                    F.array(
+                        *[F.transform(ngrams_of(F.col("toks"), n), tag(n)) for n in (2, 3, 4, 5)]
+                    )
+                )
+            ).alias("ng"),
+        )
         .groupBy("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -107,11 +134,7 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(F.col("cnt") * F.length("g")).alias("dup5_cov"))
     )
-    out = (
-        base.select("doc_id", "base_chars")
-        .join(tops, "doc_id", "left")
-        .join(dup5, "doc_id", "left")
-    )
+    out = base.join(tops, "doc_id", "left").join(dup5, "doc_id", "left")
     # Basis points via integer `div`, NOT float-division-then-cast:
     # CAST(double AS BIGINT) truncates in Spark but rounds in DuckDB —
     # a parity trap at every .5 boundary.
@@ -137,8 +160,10 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
 
 # Dialect-portable patterns (no lookarounds — RE2-safe; greedy classes give
 # the same leftmost match under Java's leftmost-first and RE2's
-# leftmost-longest because the alternatives are disjoint).
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# leftmost-longest because the alternatives are disjoint). Explicit
+# [A-Za-z…] classes, not (?i): 'Alice.W@Corp.example.ORG' must redact —
+# a lowercase-only email scrub is a PII hole (ADVICE r05).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\b555-[0-9]{4}\b"
 
 
@@ -244,18 +269,57 @@ IVF_K = 16  # coarse centroids
 IVF_NPROBE = 3  # lists searched per query
 
 
-def _centroids(emb: DataFrame, id_col: str, vec_col: str) -> list[tuple[int, list[float]]]:
-    """The K coarse centroids. Deterministic seeds (the first K vector
-    ids) stand in for a k-means training pass — production would Lloyd
-    over a sample; the query-time layout (assign -> probe -> search) is
-    identical either way. Driver-side collect is O(K x dim) — 16 x 64
-    doubles, the same small-literal pattern as similarity.HYPERPLANES."""
+def _centroids(
+    emb: DataFrame, id_col: str, vec_col: str, lloyd_steps: int = 1
+) -> list[tuple[int, list[float]]]:
+    """The K coarse centroids: deterministic seeds (the first K vector
+    ids) refined by `lloyd_steps` distributed k-means iterations (r06;
+    seeds-only through r05). Each step assigns every corpus vector to
+    its nearest current centroid (row-wise literal expression, zero
+    shuffles) and recomputes per-list means with ONE groupBy — the
+    faiss coarse-quantizer training loop, truncated to a replayable
+    depth.
+
+    The means are INTEGER-EXACT for oracle parity: per dimension,
+    sum(round(x * 1e6)::bigint) / (n * 1e6) — integer sums are
+    order-free (float avg() would drift between engines on summation
+    order), and BIGINT/BIGINT division is correctly-rounded IEEE in
+    both Python and DuckDB, so the trained centroids are bit-identical
+    on both sides. Empty lists keep their previous centroid. Driver
+    collects are O(K x dim) — 16 x 64 values, the same small-literal
+    pattern as similarity.HYPERPLANES; at web scale training runs on a
+    fixed-size sample, keeping this loop O(sample), not O(corpus)."""
     rows = (
         emb.filter(F.col(id_col) < IVF_K)
         .select(F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("ce"))
         .collect()
     )
-    return sorted((r.cid, list(r.ce)) for r in rows)
+    cents = sorted((r.cid, list(r.ce)) for r in rows)
+    for _ in range(lloyd_steps):
+        # assign in a generator-free projection: sharing a select with
+        # posexplode strips the aliases inside ivf_assign's structs
+        # (fields degrade to col1/col2 under ExtractGenerator)
+        assigned = emb.select(
+            ivf_assign(as_double(F.col(vec_col)), cents).alias("cid"),
+            as_double(F.col(vec_col)).alias("ne"),
+        )
+        comp = (
+            assigned.select("cid", F.posexplode("ne").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(
+                F.sum(F.round(F.col("x") * 1000000).cast("bigint")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in comp:
+            means.setdefault(int(r.cid), {})[int(r.i)] = int(r.s) / (int(r.n) * 1000000)
+        cents = [
+            (cid, [means[cid][i] for i in range(len(ce))] if cid in means else ce)
+            for cid, ce in cents
+        ]
+    return cents
 
 
 def ivf_assign(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
@@ -294,6 +358,7 @@ def ivf_topk(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_steps: int = 1,
 ) -> DataFrame:
     """IVF-Flat approximate top-k (the faiss coarse-quantizer layout —
     the brief's named alternative to LSH bucketing): every corpus vector
@@ -308,7 +373,7 @@ def ivf_topk(
     (nprobe/K of the corpus scanned per query); K grows ~sqrt(n) and the
     centroid literal table becomes a broadcast dim instead.
     """
-    cents = _centroids(emb, id_col, vec_col)
+    cents = _centroids(emb, id_col, vec_col, lloyd_steps=lloyd_steps)
     corpus = emb.select(
         F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("ne")
     ).withColumn("cid", ivf_assign(F.col("ne"), cents))

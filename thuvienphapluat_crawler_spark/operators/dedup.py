@@ -257,7 +257,10 @@ def connected_components(
     node id reachable.
 
     Raises RuntimeError if max_rounds is exhausted before convergence —
-    never silently returns partial labels."""
+    never silently returns partial labels. Note max_rounds INCLUDES the
+    final zero-change detection round: a graph needing k productive
+    rounds converges (is accepted) at max_rounds >= k + 1, because the
+    fixpoint is only observed by one more round changing nothing."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -302,7 +305,8 @@ def connected_components(
             break
     if not converged:
         raise RuntimeError(
-            f"connected_components did not converge within max_rounds={max_rounds}; "
-            "the graph's effective diameter exceeds 2^max_rounds — raise max_rounds"
+            f"connected_components did not converge within max_rounds={max_rounds} "
+            "(which includes one zero-change detection round) — the component "
+            "minimum is still propagating; raise max_rounds"
         )
     return labels

@@ -1726,15 +1726,18 @@ def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE '' END ||
         CASE WHEN doc_id % 7 = 0
              THEN ' hotline 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0
+             THEN ' cc Legal.Dept' || CAST(doc_id AS VARCHAR) || '@Corp.Example.ORG'
              ELSE '' END AS text
       FROM documents)
     SELECT doc_id,
            CAST(len(regexp_extract_all(text,
-                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(text,
                 '\\b555-[0-9]{4}\\b')) AS BIGINT) AS n_phones,
            md5(regexp_replace(regexp_replace(text,
-                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                  '\\b555-[0-9]{4}\\b', '[PHONE]', 'g')) AS cleaned_md5
     FROM planted ORDER BY doc_id
     """,
@@ -1761,6 +1764,16 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(
                     F.lit(" hotline 555-"),
                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            # mixed-case plant: proves the scrub is case-insensitive
+            # (ADVICE r05 — lowercase-only EMAIL_RE let Alice.W@Corp… escape)
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" cc Legal.Dept"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@Corp.Example.ORG"),
                 ),
             ).otherwise(F.lit("")),
         ).alias("text"),
@@ -1831,7 +1844,29 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_knn_ivf",
     f"""
     WITH c0 AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ne FROM embeddings),
-    cents AS (SELECT nid AS cid, ne AS ce FROM c0 WHERE nid < {C.IVF_K}),
+    seeds AS (SELECT nid AS cid, ne AS ce FROM c0 WHERE nid < {C.IVF_K}),
+    -- one Lloyd step (r06): assign to nearest seed, recompute per-list
+    -- means integer-exactly (sum of round(x*1e6) / (n*1e6) — order-free,
+    -- bit-identical to the Spark-side training)
+    s_sims AS (SELECT c0.nid, seeds.cid,
+                      round(list_inner_product(ne, ce) /
+                            (sqrt(list_inner_product(ne, ne)) *
+                             sqrt(list_inner_product(ce, ce))), 6) AS sim
+               FROM c0, seeds),
+    s_asgn AS (SELECT nid, cid FROM (
+                 SELECT nid, cid,
+                        row_number() OVER (PARTITION BY nid ORDER BY sim DESC, cid) AS rn
+                 FROM s_sims) WHERE rn = 1),
+    comp AS (SELECT a.cid, d.i AS i,
+                    sum(CAST(round(c0.ne[d.i] * 1000000) AS BIGINT)) AS s,
+                    count(*) AS n
+             FROM s_asgn a JOIN c0 ON c0.nid = a.nid
+             CROSS JOIN range(1, 65) d(i)
+             GROUP BY a.cid, d.i),
+    trained AS (SELECT cid, list(s / (n * 1000000) ORDER BY i) AS ce
+                FROM comp GROUP BY cid),
+    cents AS (SELECT seeds.cid, coalesce(trained.ce, seeds.ce) AS ce
+              FROM seeds LEFT JOIN trained USING (cid)),
     csims AS (SELECT c0.nid, cents.cid,
                      round(list_inner_product(ne, ce) /
                            (sqrt(list_inner_product(ne, ne)) *
@@ -1862,12 +1897,14 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (the faiss coarse-quantizer layout, the brief's
     named alternative to LSH): corpus vectors inverted-listed under
-    their nearest of K=16 centroids; each query probes its nprobe=3
-    nearest lists with exact cosine. Assignment is a row-wise
+    their nearest of K=16 centroids trained by ONE distributed Lloyd
+    iteration over deterministic seeds (r06; the oracle replays the
+    step via integer-exact per-list means); each query probes its
+    nprobe=3 nearest lists with exact cosine. Assignment is a row-wise
     expression over centroid literals (zero shuffles); candidates flow
     through one BroadcastHashJoin on the list id."""
     emb = load(spark, sf_dir, "embeddings")
-    return C.ivf_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
+    return C.ivf_topk(emb, _KNN_QUERY_IDS, k=5, lloyd_steps=1).orderBy("query_id", "rank")
 
 
 @register(
@@ -2755,6 +2792,86 @@ def wav_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avi_real_frames",
+    """
+    WITH params AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h, 3 + doc_id % 4 AS nf
+      FROM documents),
+    pix AS (
+      SELECT p.doc_id, p.w, p.h, t.t AS t,
+             (y.y * p.w * 3 + x.x * 3 + c.c) AS idx,
+             CAST((p.doc_id * (c.c + 1) + 2 * t.t + 3 * y.y + 7 * x.x + 5 * c.c) % 256
+                  AS INT) AS v
+      FROM params p
+      CROSS JOIN range(6) t(t) CROSS JOIN range(8) y(y)
+      CROSS JOIN range(12) x(x) CROSS JOIN range(3) c(c)
+      WHERE t.t < p.nf AND y.y < p.h AND x.x < p.w)
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(t AS INT) AS frame_idx,
+           CAST(10 AS INT) AS fps,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS pix_sum,
+           md5(string_agg(printf('%02x', v), '' ORDER BY idx)) AS frame_md5
+    FROM pix GROUP BY doc_id, t, w, h
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def avi_real_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal VIDEO decode REAL end-to-end (the third real modality
+    after PNG and WAV; reference: ocr/sample_ocr_5pages.py:104-107
+    selects golden sample frames the same way). Per doc, a deterministic
+    frame tensor is rendered from a pixel formula, encode_avi writes a
+    spec-valid RIFF/AVI (hdrl headers, bottom-up padded BGR DIB rows,
+    idx1 index), decode_avi walks the chunk tree back, and ALL output
+    columns are computed from the DECODED frames — frame_md5 is md5
+    over the hex of the canonical RGB bytes, so a codec bug anywhere
+    (row padding, bottom-up flip, BGR order, chunk walk) breaks the
+    hash. The oracle replays the pixel formula closed-form over a
+    generated grid. At 100 TB: video bytes never shuffle (synth + codec
+    + stats inside one mapInPandas); only 7 narrow columns leave the
+    scan stage."""
+    import numpy as np
+
+    from .sources.avicodec import avi_frame_stats, encode_avi
+
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id"), spark)
+
+    def synth_and_scan(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, nf = 8 + d % 5, 6 + d % 3, 3 + d % 4
+                t = np.arange(nf)[:, None, None, None]
+                i = np.arange(h)[None, :, None, None]
+                j = np.arange(w)[None, None, :, None]
+                c = np.arange(3)[None, None, None, :]
+                vid = ((d * (c + 1) + 2 * t + 3 * i + 7 * j + 5 * c) % 256).astype(np.uint8)
+                for st in avi_frame_stats(encode_avi(vid, 10)):
+                    rows.append(
+                        (str(d), st["frame_idx"], st["fps"], st["width"], st["height"],
+                         st["pix_sum"], st["frame_md5"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "fps", "width", "height",
+                         "pix_sum", "frame_md5"],
+            )
+
+    return (
+        docs.mapInPandas(
+            synth_and_scan,
+            "doc_id string, frame_idx int, fps int, width int, height int, "
+            "pix_sum bigint, frame_md5 string",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@register(
     "docx_real_chunks",
     """
     WITH base AS (
@@ -3450,6 +3567,114 @@ def crawl_engine_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _crawl_dedup_oracle_sql() -> str:
+    """VALUES oracle for crawl_dedup_pairs: the sequential crawl replay
+    (plans/crawl_oracle.py) produces each fetched page's text; MinHash
+    signatures, band hashes, the hot-bucket cap, candidate pairing and
+    intersection counts are then replayed in plain Python with the SAME
+    published constants the Spark operators use (dedup.MINHASH_*) —
+    integer counts cross the boundary; the jaccard division+round runs
+    in DuckDB so rounding semantics match Spark's round()."""
+    import hashlib
+
+    from .operators.dedup import (
+        LSH_MAX_BUCKET,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_BANDS,
+        MINHASH_K,
+        MINHASH_P,
+    )
+    from .plans import crawl_oracle as CO
+    from .plans.frontier import _doc_id_for
+    from .sources.synthetic_web import World
+
+    res = CO.crawl(World(**_DEMO_WORLD), seeds_per_host=2)
+    tok_sets: dict[str, set[int]] = {}
+    for url, spans in res.docs.items():
+        text = " ".join(s[1] for s in spans if s[0] == "text")
+        tok_sets[_doc_id_for(url)] = {
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in text.split()
+        }
+    rpb = MINHASH_K // MINHASH_BANDS
+    buckets: dict[tuple[int, str], list[str]] = {}
+    for d, hs in tok_sets.items():
+        sig = [
+            min(((h % MINHASH_P) * MINHASH_A[k] + MINHASH_B[k]) % MINHASH_P for h in hs)
+            for k in range(MINHASH_K)
+        ]
+        for b in range(MINHASH_BANDS):
+            key = ",".join(str(x) for x in sig[b * rpb : (b + 1) * rpb])
+            buckets.setdefault((b, hashlib.md5(key.encode()).hexdigest()), []).append(d)
+    pairs: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if len(members) > LSH_MAX_BUCKET:
+            continue
+        ms = sorted(members)
+        pairs.update((a, b) for i, a in enumerate(ms) for b in ms[i + 1 :])
+    vals = ", ".join(
+        f"('{a}', '{b}', {len(tok_sets[a] & tok_sets[b])}, {len(tok_sets[a])}, {len(tok_sets[b])})"
+        for a, b in sorted(pairs)
+    )
+    return (
+        "SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter, "
+        "CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, "
+        "round(n_inter / (n_a + n_b - n_inter), 4) AS jaccard "
+        "FROM (VALUES " + vals + ") AS t(doc_a, doc_b, n_inter, n_a, n_b) "
+        "ORDER BY doc_a, doc_b"
+    )
+
+
+@register("crawl_dedup_pairs", _crawl_dedup_oracle_sql())
+def crawl_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-crawl integration (r06, VERDICT ask #6): near-dup
+    detection INSIDE the epoch dataflow instead of over a static table.
+    The crawl engine runs end-to-end on the demo world; each fetched
+    document's interleaved text spans are joined back into page text,
+    MinHash-signed, LSH-banded (with the hot-bucket cap), self-joined
+    into candidate pairs, and exact-Jaccard-verified — the full
+    crawl → sketch → candidates → verify loop the north_star describes.
+    At 100 TB: signatures are computed in the same scan that already
+    tokenizes the fetched page (frontier_scale_job demonstrates the
+    fused fetch+sketch stage); the banded self-join touches only
+    (doc_id, band, hash) rows, never page text."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .plans.frontier import CrawlEngine
+    from .sources.synthetic_web import World
+
+    root = tempfile.mkdtemp(prefix="tvpl_dedup_wh_")
+    keep = tempfile.mkdtemp(prefix="tvpl_dedup_out_")
+    atexit.register(shutil.rmtree, keep, ignore_errors=True)
+    try:
+        engine = CrawlEngine(spark, World(**_DEMO_WORLD), root, n_buckets=4)
+        engine.run()
+        texts = engine.docs().select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        pairs = D.lsh_candidate_pairs(D.minhash_bands(D.minhash_signatures(texts)))
+        out = (
+            D.jaccard_on_pairs(pairs, D.doc_token_hashes(texts))
+            .select("doc_a", "doc_b", F.col("n_inter").cast("bigint").alias("n_inter"),
+                    F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b"), "jaccard")
+            .orderBy("doc_a", "doc_b")
+        )
+        out.write.mode("overwrite").parquet(f"{keep}/crawl_dedup_pairs")
+        return spark.read.parquet(f"{keep}/crawl_dedup_pairs").orderBy("doc_a", "doc_b")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming + multimodal (SURVEY §2.9, brief's multimodal ops)
 # --------------------------------------------------------------------------
@@ -3542,25 +3767,26 @@ _MEDIA_ITEMS_SQL = f"""
              CAST(('0x' || substr(md5(doc_id || '|' || media_ref), 3, 2)) AS INT) AS s1
       FROM items)
     SELECT doc_id, media_ref, kind,
-           CASE kind WHEN 'image' THEN 'png' WHEN 'audio' THEN 'wav' ELSE 'fake' END AS format,
+           CASE kind WHEN 'image' THEN 'png' WHEN 'audio' THEN 'wav' ELSE 'avi' END AS format,
            CAST(CASE kind WHEN 'image' THEN 8 + s0 % 8
                           WHEN 'audio' THEN 64 + s0 % 64
-                          ELSE 64 + s0 END AS INT) AS width,
+                          ELSE 8 + s0 % 5 END AS INT) AS width,
            CAST(CASE kind WHEN 'image' THEN 6 + s1 % 4
                           WHEN 'audio' THEN 1 + s1 % 2
-                          ELSE 64 + s1 END AS INT) AS height
+                          ELSE 6 + s1 % 3 END AS INT) AS height
     FROM sig ORDER BY doc_id, media_ref
     """,
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal metadata extraction on REAL bytes (r05, was fake-blob):
-    media worklist from the span model → per-kind blobs (image = real
-    PNG, audio = real PCM WAV, video = deterministic fake — ffmpeg is
-    the documented boundary) → mapInPandas decode + metadata. The
-    reported dims come from the DECODERS (PNG unfilter, RIFF chunk
-    walk), the oracle from the synthesis formulas — a codec bug on
-    either side breaks the hash. Binary never crosses a shuffle; only
-    narrow metadata leaves the scan stage."""
+    """Multimodal metadata extraction on REAL bytes (r05 image/audio,
+    r06 video): media worklist from the span model → per-kind blobs
+    (image = real PNG, audio = real PCM WAV, video = real
+    uncompressed-DIB AVI — the remaining ffmpeg boundary is compressed
+    codecs) → mapInPandas decode + metadata. The reported dims come
+    from the DECODERS (PNG unfilter, RIFF chunk walks), the oracle from
+    the synthesis formulas — a codec bug on either side breaks the
+    hash. Binary never crosses a shuffle; only narrow metadata leaves
+    the scan stage."""
     from .multimodal import extract_features, media_from_documents, synth_media
 
     media = synth_media(spark, media_from_documents(spark, sf_dir), real_codecs=True)
@@ -3574,26 +3800,38 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_frame_sample",
     f"""
-    WITH items AS ({_MEDIA_ITEMS_SQL})
+    WITH items AS ({_MEDIA_ITEMS_SQL}),
+    sig AS (
+      SELECT doc_id, media_ref,
+             CAST(('0x' || substr(md5(doc_id || '|' || media_ref), 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(md5(doc_id || '|' || media_ref), 3, 2)) AS INT) AS s1
+      FROM items WHERE kind = 'video')
     SELECT doc_id, media_ref,
-           CAST(2 AS BIGINT) AS n_frames_kept,     -- ceil(4096/512)=8 frames, every 4th → idx 0,4
-           CAST(1024 AS BIGINT) AS frame_bytes_total
-    FROM items WHERE kind = 'video' ORDER BY doc_id, media_ref
+           CAST(((3 + s0 % 4) + 1) // 2 AS BIGINT) AS n_frames_kept,  -- every 2nd of nf frames
+           CAST((((3 + s0 % 4) + 1) // 2) * (8 + s0 % 5) * (6 + s1 % 3) * 3 AS BIGINT)
+             AS frame_bytes_total
+    FROM sig ORDER BY doc_id, media_ref
     """,
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling over opaque blobs: 512-byte frames, every
-    4th kept. Since r05 this runs on VIDEO items only (image/audio now
-    decode for real in media_features; real video frame extraction
-    needs ffmpeg — the chunk sampler exercises the identical Spark
-    batch shape over the deterministic stand-in)."""
+    """Video frame sampling over REAL decoded frames (r06; was a
+    byte-chunk sampler over a fake blob through r05): video items are
+    spec-valid uncompressed-DIB AVIs, sample_frames decodes them
+    (sources/avicodec) and keeps every 2nd actual frame; frame_bytes is
+    the canonical RGB payload of each kept frame. The oracle replays
+    kept-count and byte totals from the synthesis formulas (nf = 3 +
+    s0 % 4 frames of (8 + s0 % 5) × (6 + s1 % 3) pixels). Per-frame
+    md5s are gated by avi_real_frames; this query gates the SAMPLER
+    over the span-model worklist."""
     from .multimodal import media_from_documents, sample_frames, synth_media
 
     media = synth_media(
-        spark, media_from_documents(spark, sf_dir).filter(F.col("kind") == "video")
+        spark,
+        media_from_documents(spark, sf_dir).filter(F.col("kind") == "video"),
+        real_codecs=True,
     )
     return (
-        sample_frames(media)
+        sample_frames(media, every_k=2)
         .groupBy("doc_id", "media_ref")
         .agg(
             F.count("*").alias("n_frames_kept"),
@@ -4210,8 +4448,11 @@ _DRIVER_TAIL: tuple[str, ...] = (
     "workbook_sheet_tables",
     # politeness: streaming_politeness + crawl_engine_demo stay in the head
     "politeness_schedule",
-    # spans family: spans_build + lookahead + lookback stay in the head
+    # spans family: spans_build + lookback stay in the head (lookahead
+    # demoted r06 — span-window family keeps lookback as its head rep —
+    # making room for avi_real_frames, the real-codec video variant)
     "spans_roundtrip_stats",
+    "spans_lookahead_media",
     # O3 top-k limit: q3_top_orders stays in the head
     "top_orders_per_customer",
     # table family: header_tiers + chunks + sections + annex stay in the head
@@ -4223,6 +4464,10 @@ _DRIVER_TAIL: tuple[str, ...] = (
     # make room for wav_real_features — the real-codec audio variant)
     "media_frame_sample",
     "media_features",
+    # OCR-accounting family (r06): ocr_golden_compare is the head rep;
+    # the cost roll-up demoted to make room for crawl_dedup_pairs — the
+    # dedup-at-crawl integration query (VERDICT r05 ask #6)
+    "ocr_cost_summary",
 )
 
 

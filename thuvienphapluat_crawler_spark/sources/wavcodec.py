@@ -37,6 +37,12 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     n_frames, n_ch = samples.shape
     if not (1 <= n_ch <= 64):
         raise WavFormatError(f"unsupported channel count {n_ch}")
+    if samples.size and (samples.min() < -32768 or samples.max() > 32767):
+        # loud failure, matching every other codec path — astype('<i2')
+        # would silently wrap 40000 → -25536 (ADVICE r05)
+        raise WavFormatError(
+            f"samples outside int16 range [{int(samples.min())}, {int(samples.max())}]"
+        )
     pcm = np.ascontiguousarray(samples.astype("<i2")).tobytes()
     block_align = n_ch * 2
     byte_rate = sample_rate * block_align
@@ -62,9 +68,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if riff_size + 8 > len(data):
         raise WavFormatError("truncated RIFF payload")
     pos = 12
+    # bound the walk at the declared RIFF payload — trailing garbage after
+    # a valid payload must not change the decode (ADVICE r05)
+    end = min(len(data), 8 + riff_size)
     fmt_fields = None
     pcm = None
-    while pos + 8 <= len(data):
+    while pos + 8 <= end:
         tag = data[pos : pos + 4]
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         chunk = data[pos + 8 : pos + 8 + size]
@@ -75,6 +84,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 raise WavFormatError("fmt chunk too short")
             fmt_fields = struct.unpack("<HHIIHH", chunk[:16])
         elif tag == b"data":
+            if pcm is not None:
+                raise WavFormatError("duplicate data chunk")
             pcm = chunk
         pos += 8 + size + (size % 2)  # pad byte on odd sizes
     if fmt_fields is None or pcm is None:

@@ -122,6 +122,18 @@ def main() -> None:
     else:
         print("strong neighbors (cos>=0.9): none among exact top-k for these probes")
 
+    # IVF-Flat: seed centroids vs 1-step-Lloyd-trained centroids (r06
+    # verdict ask #5) — the training step should tighten the lists and
+    # hold or raise recall at the same nprobe budget.
+    from thuvienphapluat_crawler_spark.operators import corpusops as CO
+
+    ivf_seed = topk_sets(CO.ivf_topk(emb, probes, k=k, lloyd_steps=0))
+    ivf_t1 = topk_sets(CO.ivf_topk(emb, probes, k=k, lloyd_steps=1))
+    print(f"IVF-Flat (K={CO.IVF_K}, nprobe={CO.IVF_NPROBE}) seed centroids:    "
+          f"recall@{k} = {recall(ivf_seed, exact, k):.3f}")
+    print(f"IVF-Flat (K={CO.IVF_K}, nprobe={CO.IVF_NPROBE}) 1-step Lloyd:      "
+          f"recall@{k} = {recall(ivf_t1, exact, k):.3f}")
+
     # Equal-candidate-budget control: a 20-table index reaches roughly the
     # multi-probe candidate count the expensive way (5x the index build +
     # memory). Plane literals bake into the plan at build time, so a scoped
