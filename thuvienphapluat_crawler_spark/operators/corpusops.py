@@ -20,10 +20,12 @@ the IVF coarse-quantizer ANN layout [Johnson et al., faiss]).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import as_double, cosine
+from .similarity import _dot, as_double, cosine
 from .textstats import tokens
 
 # ---------------------------------------------------------------------------
@@ -322,33 +324,64 @@ def _centroids(
     return cents
 
 
+def _cents_lit(cents: list[tuple[int, list[float]]]) -> Column:
+    """The centroid table as ONE array<struct<cid,ce,nrm>> literal. One
+    shared literal + one lambda keeps the Catalyst tree ~K·dim literal
+    nodes with a SINGLE similarity subtree evaluated K times at runtime —
+    the per-centroid-expression form (K separate cosine trees, r05/r06a)
+    made optimizer+codegen the dominant query cost (~10 s of the 19 s
+    cold emb_knn_ivf wall; data work on 60k×64 vectors is trivial).
+
+    nrm = the centroid's L2 norm, precomputed DRIVER-side: Python's
+    left-to-right sum(x*x) + math.sqrt are the identical IEEE ops (same
+    order) as the JVM fold F.sqrt(_dot(ce, ce)) they replace, so sims
+    are bit-unchanged while a third of the per-row HOF work (the K
+    constant self-dot folds Catalyst cannot fold through a lambda)
+    disappears."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("bigint").alias("cid"),
+                F.array(*[F.lit(x) for x in ce]).alias("ce"),
+                F.lit(math.sqrt(sum(x * x for x in ce))).alias("nrm"),
+            )
+            for cid, ce in cents
+        ]
+    )
+
+
+def _cent_sim(vec: Column, c: Column) -> Column:
+    """round(cosine(vec, c.ce), 6) with c's constant norm substituted —
+    same formula, same op order: dot / (sqrt(dot(v,v)) * nrm)."""
+    return F.round(_dot(vec, c["ce"]) / (F.sqrt(_dot(vec, vec)) * c["nrm"]), 6)
+
+
 def ivf_assign(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     """Nearest-centroid id for a vector column, computed ROW-WISE against
-    centroid literals: argmax over round(cosine, 6) with ties to the
-    smaller cid — array_max over struct(sim, -cid). Zero shuffles: the
-    whole coarse quantizer runs inside the scan stage."""
-    entries = [
-        F.struct(
-            F.round(cosine(vec, F.array(*[F.lit(x) for x in ce])), 6).alias("sim"),
-            F.lit(-cid).alias("ncid"),
-        )
-        for cid, ce in cents
-    ]
-    return (-F.array_max(F.array(*entries))["ncid"]).cast("bigint")
+    the centroid literal table: argmax over round(cosine, 6) with ties
+    to the smaller cid — array_max over struct(sim, -cid). Zero
+    shuffles: the whole coarse quantizer runs inside the scan stage."""
+    scored = F.transform(
+        _cents_lit(cents),
+        lambda c: F.struct(
+            _cent_sim(vec, c).alias("sim"),
+            (-c["cid"]).alias("ncid"),
+        ),
+    )
+    return (-F.array_max(scored)["ncid"]).cast("bigint")
 
 
 def ivf_probe_lists(vec: Column, cents: list[tuple[int, list[float]]], nprobe: int) -> Column:
     """The nprobe nearest centroid ids for a query vector (row-wise:
     sort the K (sim, cid) structs, take the head)."""
-    entries = [
-        F.struct(
-            (-F.round(cosine(vec, F.array(*[F.lit(x) for x in ce])), 6)).alias("nsim"),
-            F.lit(cid).alias("cid"),
-        )
-        for cid, ce in cents
-    ]
-    ordered = F.array_sort(F.array(*entries))
-    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cid"].cast("bigint"))
+    scored = F.transform(
+        _cents_lit(cents),
+        lambda c: F.struct(
+            (-_cent_sim(vec, c)).alias("nsim"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cid"])
 
 
 def ivf_topk(
