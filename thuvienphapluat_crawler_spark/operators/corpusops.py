@@ -429,3 +429,73 @@ def ivf_topk(
             F.col("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup
+
+BOILER_MIN_DOCS = 5  # a line repeated across >= this many docs is boilerplate
+
+
+def doc_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, line): each document split on '\\n' with the line's
+    0-based position — the real line-dedup unit (boilerplate is
+    line-identical across pages precisely because templates emit it on
+    its own line)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), "\n").alias("ls"))
+        .select("doc_id", F.posexplode("ls").alias("pos", "line"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "line")
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = BOILER_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level boilerplate removal, the RefinedWeb / FineWeb curation
+    staple [Penedo et al., arXiv:2306.01116 §3.3 line-wise filtering;
+    FineWeb repeats it]: a line occurring in >= min_docs DISTINCT
+    documents is boilerplate (cookie banners, nav bars, subscribe
+    prompts) and is removed from EVERY document; remaining lines are
+    rejoined in order.
+
+    Returns (doc_id, n_lines, n_removed, cleaned_text) for every input
+    document (docs reduced to nothing keep a row with empty text).
+
+    Scale shape: one line explode → one groupBy(line) distinct-doc count
+    (map-side partial agg) → the boilerplate SET (one row per distinct
+    frequent line — megabytes even at 100 TB, frequency is what made it
+    boilerplate) broadcasts into a left-anti join, so the corpus never
+    shuffles for the removal; the rebuild groups by doc_id with
+    array_sort for deterministic order (never collect_list order)."""
+    lines = doc_lines(docs, id_col=id_col, text_col=text_col)
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )

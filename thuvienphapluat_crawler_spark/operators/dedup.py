@@ -310,3 +310,94 @@ def connected_components(
             "minimum is still propagating; raise max_rounds"
         )
     return labels
+
+
+def token_windows(
+    docs: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, start, win): every k-token window of each document, with
+    its 0-based start token index. Documents shorter than k tokens yield
+    no rows. The window STRING itself is the key downstream — exact by
+    construction; at web scale you'd key on xxhash64(win) and verify the
+    string only on hash-collision candidates (same hash-then-verify
+    shape as jaccard_on_pairs)."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - k),
+                    lambda i: F.struct(
+                        i.cast("long").alias("start"),
+                        F.array_join(F.slice(F.col("toks"), i + 1, k), " ").alias("win"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<start:long,win:string>>"))
+        ).alias("w"),
+    )
+    return wins.select("doc_id", F.col("w.start").alias("start"), F.col("w.win").alias("win"))
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-span dedup, the ExactSubstr operator of
+    [Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 §4.1] re-expressed for Spark: their
+    suffix-array pass marks every >=50-token substring shared between
+    two documents; here every k-token window duplicated across >=
+    min_docs DISTINCT documents is marked, and overlapping-or-touching
+    marked windows merge into MAXIMAL spans (gaps-and-islands) — the
+    same maximal shared-substring output, k-token resolution, without
+    the sequential suffix array.
+
+    Returns (doc_id, span_start, span_end, n_windows): token-index
+    half-open [span_start, span_end) per maximal duplicated span.
+
+    Scale shape: one window explode (O(tokens) narrow rows) → groupBy
+    on the window string with a distinct-doc count (map-side partial) →
+    left-semi join marks duplicated windows (both shuffles key on the
+    window string — boilerplate skew is bounded because the dup SET has
+    one row per distinct window regardless of frequency) → per-doc sort
+    is a window function over that doc's marked windows only. No
+    all-pairs stage anywhere; 100 TB cost is ~2 shuffles of
+    O(total tokens) narrow rows, the published Spark alternative to
+    suffix arrays for web-scale corpora."""
+    wins = token_windows(docs, k, id_col=id_col, text_col=text_col)
+    dup = (
+        wins.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("win")
+    )
+    marked = wins.join(dup, "win", "left_semi")
+    prev_max_end = F.max(F.col("start") + k).over(
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = marked.select(
+        "doc_id",
+        "start",
+        F.when(
+            prev_max_end.isNull() | (F.col("start") > prev_max_end), F.lit(1)
+        ).otherwise(F.lit(0)).alias("new_span"),
+    )
+    islands = flagged.select(
+        "doc_id",
+        "start",
+        F.sum("new_span")
+        .over(Window.partitionBy("doc_id").orderBy("start"))
+        .alias("span_id"),
+    )
+    return islands.groupBy("doc_id", "span_id").agg(
+        F.min("start").alias("span_start"),
+        (F.max("start") + k).alias("span_end"),
+        F.count("*").alias("n_windows"),
+    )
