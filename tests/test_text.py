@@ -268,3 +268,37 @@ def test_rolling_fp_spark_matches_python(spark):
             if j >= X.ROLL_K - 1:
                 wins.append(win)
         assert got[i] == (h, min(wins) if wins else None), s
+
+
+# ---------------------------------------------------------------------------
+# Vietnamese diacritics folding (r06)
+
+
+def test_vi_fold_legal_phrases(spark):
+    from thuvienphapluat_crawler_spark.functions.text import vi_char_count, vi_fold
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "Quyết định 3500/QĐ-BYT"),
+        (2, "Điều ước quốc tế và Nghị định hướng dẫn"),
+        (3, "plain ascii stays untouched"),
+        (4, "ĐẦY ĐỦ CHỮ HOA"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string").select(
+        "id", vi_fold(F.col("t")).alias("f"), vi_char_count(F.col("t")).alias("n")
+    )
+    out = {r.id: (r.f, r.n) for r in df.collect()}
+    assert out[1] == ("Quyet dinh 3500/QD-BYT", 4)  # ế ị đ Đ
+    assert out[2] == ("Dieu uoc quoc te va Nghi dinh huong dan", 13)
+    assert out[3] == ("plain ascii stays untouched", 0)
+    assert out[4] == ("DAY DU CHU HOA", 5)  # Đ Ầ Đ Ủ Ữ
+
+
+def test_vi_fold_covers_every_mapped_char(spark):
+    from thuvienphapluat_crawler_spark.functions.text import VI_DST, VI_SRC, vi_fold
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(VI_SRC,)], "t string").select(
+        vi_fold(F.col("t")).alias("f")
+    )
+    assert df.collect()[0].f == VI_DST

@@ -319,3 +319,40 @@ def merge_lines_exact(
 
     ordered = lines.repartition(doc_col).sortWithinPartitions(doc_col, offset_col)
     return ordered.mapInPandas(run, MERGED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Vietnamese diacritics folding
+
+# Every precomposed Vietnamese letter (NFC), grouped by its ASCII base —
+# the reference corpus is Vietnamese legal text (doc names like
+# 'Quyết định 3500/QĐ-BYT', the Điều patterns this module already
+# matches), and search keys / slugs / filename sanitization
+# (pipeline.py:71-74) need the tone-and-breathing-stripped form.
+_VI_BASE = {
+    "a": "àáảãạăằắẳẵặâầấẩẫậ",
+    "d": "đ",
+    "e": "èéẻẽẹêềếểễệ",
+    "i": "ìíỉĩị",
+    "o": "òóỏõọôồốổỗộơờớởỡợ",
+    "u": "ùúủũụưừứửữự",
+    "y": "ỳýỷỹỵ",
+}
+VI_SRC = "".join(c + c.upper() for c in _VI_BASE.values())
+VI_DST = "".join(b * len(c) + b.upper() * len(c) for b, c in _VI_BASE.items())
+assert len(VI_SRC) == len(VI_DST) == 134
+
+
+def vi_fold(col: Column) -> Column:
+    """Fold Vietnamese diacritics to ASCII base letters ('Điều' →
+    'Dieu') via one char-map translate — scan-side, codegen-friendly,
+    and dialect-portable (Spark translate ≡ Postgres/DuckDB translate:
+    positional char map, unmatched chars pass through)."""
+    return F.translate(col, VI_SRC, VI_DST)
+
+
+def vi_char_count(col: Column) -> Column:
+    """How many Vietnamese-specific letters the text contains (the
+    language-evidence counter: translate with an empty 'to' string
+    DELETES every mapped char; the length delta counts them)."""
+    return (F.length(col) - F.length(F.translate(col, VI_SRC, ""))).cast("bigint")

@@ -1941,6 +1941,220 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sitemap_discover",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 8 AS VARCHAR) || '.example.test' AS host,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1 AS rn
+      FROM documents)
+    SELECT host,
+           'https://' || host || '/sitemap-' || CAST(rn // 40 AS VARCHAR) ||
+             '.xml' AS sitemap_loc,
+           'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+           CAST(DATE '2026-01-01' + CAST(doc_id % 28 AS INT) AS VARCHAR) AS lastmod,
+           (doc_id % 3 != 0) AS is_new
+    FROM u ORDER BY host, loc
+    """,
+)
+def sitemap_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-protocol seed discovery, REAL XML end-to-end (the
+    web-scale counterpart of the reference's hand-listed category-page
+    seeds, crawler.py listing walk; robots.py is the exclusion half,
+    this is the discovery half): per host, child <urlset> sitemaps of
+    40 URLs are written and a <sitemapindex> points at them; the
+    stdlib-ElementTree parser walks index → children, and EVERY output
+    row comes from PARSED XML (loc, lastmod, the child sitemap each URL
+    was found in). Discovered URLs then left-join the seen set
+    (broadcast) for the is_new verdict — the discover → diff → enqueue
+    loop. At scale: one applyInPandas per host (sitemap fetches are
+    per-host I/O anyway), XML never crosses a shuffle, and the seen
+    anti-join is the frontier's existing bloom-prefiltered path."""
+    import datetime as _dt
+
+    import pandas as _pd
+
+    from .sources.sitemap import encode_sitemapindex, encode_urlset, parse_sitemap
+
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "'h' || CAST(doc_id % 8 AS STRING) || '.example.test' AS host"
+    )
+
+    def per_host(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        host = pdf["host"].iloc[0]
+        ids = [int(d) for d in pdf["doc_id"]]
+        children: dict[str, str] = {}
+        for ci in range(0, len(ids), 40):
+            chunk = ids[ci : ci + 40]
+            loc = f"https://{host}/sitemap-{ci // 40}.xml"
+            children[loc] = encode_urlset(
+                [
+                    (
+                        f"https://{host}/doc/{d}",
+                        (_dt.date(2026, 1, 1) + _dt.timedelta(days=d % 28)).isoformat(),
+                    )
+                    for d in chunk
+                ]
+            )
+        index_xml = encode_sitemapindex(list(children))
+        kind, child_refs = parse_sitemap(index_xml)
+        assert kind == "index"
+        rows = []
+        for child_loc, _ in child_refs:
+            k2, entries = parse_sitemap(children[child_loc])
+            assert k2 == "urlset"
+            rows.extend((host, child_loc, loc, lastmod) for loc, lastmod in entries)
+        return _pd.DataFrame(rows, columns=["host", "sitemap_loc", "loc", "lastmod"])
+
+    discovered = docs.groupBy("host").applyInPandas(
+        per_host, "host string, sitemap_loc string, loc string, lastmod string"
+    )
+    seen = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("seen_id")
+    )
+    return (
+        discovered.withColumn(
+            "found_id", F.split(F.col("loc"), "/").getItem(4).cast("bigint")
+        )
+        .join(F.broadcast(seen), F.col("found_id") == F.col("seen_id"), "left")
+        .select(
+            "host",
+            "sitemap_loc",
+            "loc",
+            "lastmod",
+            F.col("seen_id").isNull().alias("is_new"),
+        )
+        .orderBy("host", "loc")
+    )
+
+
+@register(
+    "crawl_snapshot_merge",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 != 9),
+    new AS (
+      SELECT doc_id,
+             md5(text || CASE WHEN doc_id % 6 = 0 THEN ' updated' ELSE '' END) AS fp
+      FROM documents WHERE doc_id % 7 != 3)
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'deleted'
+                WHEN old.fp != new.fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           new.fp AS merged_fp
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    ORDER BY doc_id
+    """,
+)
+def crawl_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl snapshot MERGE (the Iceberg MERGE INTO shape
+    the north rule's warehouse implies; the reference's progress ledger
+    only resumes a pass — it never reconciles two epochs): previous
+    epoch vs new epoch as content-fingerprint tables, one full-outer
+    join on doc_id classifying every document added / deleted /
+    changed / unchanged, with the surviving fingerprint. Scale shape:
+    a single equi-join keyed on doc_id (AQE-splittable, co-partitioned
+    when both snapshots are bucketed by id — the Iceberg table layout),
+    fingerprints computed scan-side; no other shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 9).select(
+        F.col("doc_id").alias("old_id"), F.md5("text").alias("old_fp")
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 3).select(
+        F.col("doc_id").alias("new_id"),
+        F.md5(
+            F.concat(
+                "text",
+                F.when(F.col("doc_id") % 6 == 0, F.lit(" updated")).otherwise(F.lit("")),
+            )
+        ).alias("new_fp"),
+    )
+    j = old.join(new, old.old_id == new.new_id, "full_outer")
+    return j.select(
+        F.coalesce("old_id", "new_id").alias("doc_id"),
+        F.when(F.col("old_id").isNull(), "added")
+        .when(F.col("new_id").isNull(), "deleted")
+        .when(F.col("old_fp") != F.col("new_fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.col("new_fp").alias("merged_fp"),
+    ).orderBy("doc_id")
+
+
+def _vi_fold_oracle() -> str:
+    from .functions.text import VI_DST, VI_SRC
+
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, text ||
+        CASE WHEN doc_id % 4 = 0
+             THEN ' Điều ' || CAST(1 + doc_id % 90 AS VARCHAR) ||
+                  ' Nghị định hướng dẫn thi hành'
+             ELSE '' END ||
+        CASE WHEN doc_id % 6 = 0
+             THEN ' Căn cứ Thông tư số ' || CAST(doc_id AS VARCHAR) ||
+                  ' của Bộ Tư pháp'
+             ELSE '' END AS text
+      FROM documents),
+    folded AS (SELECT doc_id, text,
+                      translate(text, '{VI_SRC}', '{VI_DST}') AS f
+               FROM planted)
+    SELECT doc_id,
+           CAST(len(text) - len(translate(text, '{VI_SRC}', '')) AS BIGINT)
+             AS n_vi_chars,
+           md5(f) AS folded_md5,
+           md5(replace(lower(f), ' ', '-')) AS slug_md5
+    FROM folded ORDER BY doc_id
+    """
+
+
+@register("docs_vi_fold", _vi_fold_oracle())
+def docs_vi_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vietnamese diacritics folding — the reference corpus's own
+    language (doc names like 'Quyết định 3500/QĐ-BYT'; filename
+    sanitization pipeline.py:71-74; the Điều patterns functions/text.py
+    already mirrors): legal-boilerplate phrases planted on doc_id mod
+    gates, every precomposed Vietnamese letter folded to its ASCII base
+    by ONE positional char-map translate (scan-side, codegen-friendly,
+    dialect-portable), plus the folded search slug and the
+    language-evidence char count. All outputs post-fold are pure ASCII,
+    so md5 parity is byte-trivial."""
+    from .functions.text import vi_char_count, vi_fold
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" Điều "),
+                    (1 + F.col("doc_id") % 90).cast("string"),
+                    F.lit(" Nghị định hướng dẫn thi hành"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(
+                    F.lit(" Căn cứ Thông tư số "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" của Bộ Tư pháp"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    folded = docs.withColumn("f", vi_fold(F.col("text")))
+    return folded.select(
+        "doc_id",
+        vi_char_count(F.col("text")).alias("n_vi_chars"),
+        F.md5("f").alias("folded_md5"),
+        F.md5(F.regexp_replace(F.lower("f"), " ", "-")).alias("slug_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
     "crawl_freshness_schedule",
     """
     WITH obs AS (
@@ -2004,9 +2218,9 @@ def crawl_freshness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FR.freshness_schedule(hist).orderBy("priority")
 
 
-@register(
-    "warc_roundtrip",
-    """
+# The closed-form SQL resynthesis of one WARC record's byte stream —
+# shared by both WARC oracles so the framing formula cannot drift.
+_WARC_REC_SQL = """
     WITH recs AS (
       SELECT doc_id, doc_id // 25 AS segment,
              'https://docs.example.test/' || CAST(doc_id AS VARCHAR) AS uri,
@@ -2025,14 +2239,24 @@ def crawl_freshness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                'Content-Type: text/plain' || e'\\r\\n' ||
                'Content-Length: ' || CAST(len(text) AS VARCHAR) || e'\\r\\n' ||
                e'\\r\\n' || text || e'\\r\\n\\r\\n') AS BIGINT) AS rec_bytes
-      FROM recs)
-    SELECT CAST(segment AS BIGINT) AS segment, doc_id, uri,
-           CAST(coalesce(sum(rec_bytes) OVER (PARTITION BY segment ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-             AS rec_offset,
+      FROM recs),
+    offs AS (
+      SELECT *,
+             CAST(coalesce(sum(rec_bytes) OVER (PARTITION BY segment
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+               1 PRECEDING), 0) AS BIGINT) AS rec_offset
+      FROM framed)
+"""
+
+
+@register(
+    "warc_roundtrip",
+    _WARC_REC_SQL
+    + """
+    SELECT CAST(segment AS BIGINT) AS segment, doc_id, uri, rec_offset,
            content_length, payload_md5,
            count(*) OVER (PARTITION BY segment) AS n_records
-    FROM framed
+    FROM offs
     ORDER BY segment, rec_offset
     """,
 )
@@ -2105,6 +2329,76 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_length long, payload_md5 string, n_records long",
     )
     return out.orderBy("segment", "rec_offset")
+
+
+@register(
+    "warc_cdx_lookup",
+    _WARC_REC_SQL
+    + """
+    SELECT 'test,example,docs)/' || CAST(doc_id AS VARCHAR) AS urlkey,
+           CAST(segment AS BIGINT) AS segment, rec_offset,
+           rec_bytes AS rec_len, payload_md5 AS digest
+    FROM offs
+    WHERE urlkey LIKE 'test,example,docs)/1%'
+    ORDER BY urlkey, segment
+    """,
+)
+def warc_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index over the WARC segments + a SURT-prefix lookup (the
+    wayback/pywb access pattern: urlkey is the reversed-host SURT form,
+    so one string-prefix range scan answers 'every capture under this
+    host/path'). Index rows come from the DECODED archive: urlkey is
+    built from the walker's parsed Target-URI, rec_offset from its byte
+    positions, rec_len from consecutive-offset deltas (the last record
+    closes against the segment length) — so the oracle's closed-form
+    record-length formula cross-checks the walker's framing a second
+    way. At scale the CDX build is the same segment-keyed pass as the
+    archive write; the lookup is a parquet range predicate on the
+    sorted urlkey column (partition-prunable), never an archive scan."""
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    from .sources.warccodec import decode_warc, encode_warc
+
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "text", "doc_id div 25 AS segment"
+    )
+
+    def seg(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        blob = encode_warc(
+            [
+                (f"https://docs.example.test/{int(d)}", t.encode("ascii"))
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+        )
+        recs = decode_warc(blob)
+        rows = []
+        for i, (off, hdrs, payload) in enumerate(recs):
+            uri = hdrs["WARC-Target-URI"]
+            host, path = uri.split("://", 1)[1].split("/", 1)
+            urlkey = ",".join(reversed(host.split("."))) + ")/" + path
+            nxt = recs[i + 1][0] if i + 1 < len(recs) else len(blob)
+            rows.append(
+                (
+                    urlkey,
+                    int(pdf["segment"].iloc[0]),
+                    off,
+                    nxt - off,
+                    _hl.md5(payload).hexdigest(),
+                )
+            )
+        return _pd.DataFrame(
+            rows, columns=["urlkey", "segment", "rec_offset", "rec_len", "digest"]
+        )
+
+    out = docs.groupBy("segment").applyInPandas(
+        seg, "urlkey string, segment long, rec_offset long, rec_len long, digest string"
+    )
+    return out.filter(F.col("urlkey").startswith("test,example,docs)/1")).orderBy(
+        "urlkey", "segment"
+    )
 
 
 @register(
@@ -4768,6 +5062,10 @@ _DRIVER_TAIL: tuple[str, ...] = (
     "docs_substring_dedup",
     "warc_roundtrip",
     "crawl_freshness_schedule",
+    "docs_vi_fold",
+    "warc_cdx_lookup",
+    "sitemap_discover",
+    "crawl_snapshot_merge",
     # ANN family: bruteforce + multiprobe (strongest variant) stay in the head
     "emb_knn_lsh",
     "emb_knn_multitable",
