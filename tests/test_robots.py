@@ -48,7 +48,11 @@ def test_star_fallback_when_agent_unknown():
 
 
 def test_no_group_at_all():
-    assert parse_robots("Disallow: /x\n", "any") == {"rules": [], "crawl_delay": None}
+    assert parse_robots("Disallow: /x\n", "any") == {
+        "rules": [],
+        "crawl_delay": None,
+        "sitemaps": [],
+    }
 
 
 def test_decide_longest_match_allow_override():
@@ -102,3 +106,57 @@ def test_host_without_rules_is_all_allowed(spark):
     rules = rules_from_robots_txt(robots, agent="tvpl-crawler")
     row = apply_robots(frontier, rules).collect()[0]
     assert (row.allowed, row.matched_rule, row.crawl_delay) == (True, None, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Sitemap directive (r06): file-level, group-independent
+
+
+def test_sitemap_lines_collected_file_level():
+    from thuvienphapluat_crawler_spark.sources.robots import parse_robots
+
+    txt = (
+        "Sitemap: https://h/s1.xml\n"
+        "User-agent: bot\n"
+        "Disallow: /x\n"
+        "Sitemap: https://h/s2.xml\n"
+    )
+    parsed = parse_robots(txt, agent="bot")
+    assert parsed["sitemaps"] == ["https://h/s1.xml", "https://h/s2.xml"]
+    assert parsed["rules"] == [("/x", False)]
+
+
+def test_sitemap_between_ua_and_rules_does_not_split_group():
+    from thuvienphapluat_crawler_spark.sources.robots import parse_robots
+
+    txt = (
+        "User-agent: tvpl\n"
+        "Sitemap: https://h/s.xml\n"   # must NOT terminate the group header
+        "Crawl-delay: 2\n"
+        "Disallow: /a\n"
+        "Allow: /a/b\n"
+    )
+    parsed = parse_robots(txt, agent="tvpl-crawler")
+    assert parsed["crawl_delay"] == 2.0
+    assert parsed["rules"] == [("/a", False), ("/a/b", True)]
+    assert parsed["sitemaps"] == ["https://h/s.xml"]
+
+
+def test_sitemap_does_not_merge_adjacent_groups():
+    from thuvienphapluat_crawler_spark.sources.robots import parse_robots
+
+    # after group-1's rules, a Sitemap line then a UA line: the UA line
+    # still starts a FRESH group (the sitemap is no group content)
+    txt = (
+        "User-agent: a\nDisallow: /only-a\n"
+        "Sitemap: https://h/s.xml\n"
+        "User-agent: b\nDisallow: /only-b\n"
+    )
+    assert parse_robots(txt, agent="b")["rules"] == [("/only-b", False)]
+    assert parse_robots(txt, agent="a")["rules"] == [("/only-a", False)]
+
+
+def test_sitemaps_empty_when_absent():
+    from thuvienphapluat_crawler_spark.sources.robots import parse_robots
+
+    assert parse_robots("User-agent: *\nDisallow: /\n", agent="x")["sitemaps"] == []

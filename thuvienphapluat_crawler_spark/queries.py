@@ -593,6 +593,85 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "robots_sitemap_urls",
+    f"""
+    WITH hosts AS (SELECT DISTINCT host FROM ({_FRONTIER_SQL})),
+    h AS (SELECT host, CAST(regexp_extract(host, 'host(\\d+)', 1) AS INT) AS hd
+          FROM hosts),
+    sm AS (
+      SELECT host, 0 AS sm_pos,
+             'https://' || host || '/sitemap-index.xml' AS sitemap_url FROM h
+      UNION ALL
+      SELECT host, 1, 'https://' || host || '/sitemap-news.xml' FROM h
+      UNION ALL
+      SELECT host, 2, 'https://cdn.' || host || '/sitemap-extra.xml'
+      FROM h WHERE hd % 2 = 0)
+    SELECT sm.host, CAST(sm_pos AS BIGINT) AS sm_pos, sitemap_url,
+           CAST(1 + hd % 3 AS DOUBLE) AS crawl_delay,
+           CAST(3 AS BIGINT) AS n_rules
+    FROM sm JOIN h ON sm.host = h.host
+    ORDER BY sm.host, sm_pos
+    """,
+)
+def robots_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap directives extracted from robots.txt — the standard way a
+    crawler finds a host's sitemaps (linking robots.py's exclusion half
+    to sitemap.py's discovery half). Each host's synthesized robots.txt
+    carries one top-of-file Sitemap line, one planted BETWEEN the
+    crawler's User-agent line and its rules (the spec says Sitemap is
+    group-independent — it must neither start nor terminate a group),
+    and an even-host-only CDN one at the bottom. The output joins the
+    extracted (file-ordered) sitemap URLs with the SAME file's parsed
+    group (crawl_delay + rule count), so a parser that let the
+    mid-group Sitemap line split the TVPL group would lose its
+    Crawl-delay/rules and break the gate. Per-host mapInPandas; tiny
+    broadcastable output, like the rules."""
+    from .sources.robots import rules_from_robots_txt, sitemaps_from_robots_txt
+
+    hosts = _frontier_from_documents(spark, sf_dir).select("host").distinct()
+    hd = F.regexp_extract("host", r"host(\d+)", 1).cast("int")
+    robots_txt = hosts.select(
+        "host",
+        hd.alias("hd"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("Sitemap: https://"), F.col("host"), F.lit("/sitemap-index.xml")),
+            F.lit("User-agent: other-bot"),
+            F.lit("Disallow: /"),
+            F.lit(""),
+            F.lit("User-agent: TVPL-Crawler"),
+            # group-independence probe: sits between the UA line and the
+            # group's records
+            F.concat(F.lit("Sitemap: https://"), F.col("host"), F.lit("/sitemap-news.xml")),
+            F.concat(F.lit("Crawl-delay: "), (1 + hd % 3).cast("string")),
+            F.lit("Disallow: /van-ban/Thong-tu/"),
+            F.lit("Disallow: /private/"),
+            F.lit("Allow: /van-ban/Thong-tu/public-"),
+            F.when(
+                hd % 2 == 0,
+                F.concat(
+                    F.lit("\nSitemap: https://cdn."), F.col("host"), F.lit("/sitemap-extra.xml")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    sms = sitemaps_from_robots_txt(robots_txt)
+    grp = (
+        rules_from_robots_txt(robots_txt, agent="TVPL-Crawler/1.0")
+        .groupBy("host")
+        .agg(
+            F.first("crawl_delay").alias("crawl_delay"),
+            F.count("pattern").alias("n_rules"),
+        )
+    )
+    return (
+        sms.join(F.broadcast(grp), "host")
+        .select("host", "sm_pos", "sitemap_url", "crawl_delay", "n_rules")
+        .orderBy("host", "sm_pos")
+    )
+
+
+@register(
     "seen_antijoin",
     f"""
     WITH frontier AS ({_FRONTIER_SQL}),
@@ -5066,6 +5145,7 @@ _DRIVER_TAIL: tuple[str, ...] = (
     "warc_cdx_lookup",
     "sitemap_discover",
     "crawl_snapshot_merge",
+    "robots_sitemap_urls",
     # ANN family: bruteforce + multiprobe (strongest variant) stay in the head
     "emb_knn_lsh",
     "emb_knn_multitable",

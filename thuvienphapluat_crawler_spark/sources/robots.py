@@ -39,11 +39,16 @@ def _pattern_to_regex(pattern: str) -> str:
 
 
 def parse_robots(text: str, agent: str) -> dict:
-    """{'rules': [(pattern, allow: bool)], 'crawl_delay': float | None}
-    for the group that best matches `agent` (longest agent-token
-    substring match, case-insensitive; '*' fallback; no group → empty).
+    """{'rules': [(pattern, allow: bool)], 'crawl_delay': float | None,
+    'sitemaps': [url, ...]} — rules/delay for the group that best
+    matches `agent` (longest agent-token substring match,
+    case-insensitive; '*' fallback; no group → empty); sitemaps are
+    FILE-level (the Sitemap directive is independent of any user-agent
+    group per sitemaps.org/RFC 9309 §2.2.2 "other records", and must
+    neither start nor terminate a group).
     """
     groups: list[dict] = []  # {'agents': [...], 'rules': [...], 'delay': ...}
+    sitemaps: list[str] = []
     cur: dict | None = None
     after_rules = True  # a UA line after rules starts a NEW group
     for raw in text.splitlines():
@@ -52,7 +57,12 @@ def parse_robots(text: str, agent: str) -> dict:
             continue
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
-        if key == "user-agent":
+        if key == "sitemap":
+            # collected before any group-state handling: a Sitemap line
+            # between a UA line and its rules must not split the group
+            if val:
+                sitemaps.append(val)
+        elif key == "user-agent":
             if cur is None or after_rules:
                 cur = {"agents": [], "rules": [], "delay": None}
                 groups.append(cur)
@@ -79,8 +89,12 @@ def parse_robots(text: str, agent: str) -> dict:
             elif a in agent_lc and len(a) > best_len:
                 best, best_len = g, len(a)
     if best is None:
-        return {"rules": [], "crawl_delay": None}
-    return {"rules": list(best["rules"]), "crawl_delay": best["delay"]}
+        return {"rules": [], "crawl_delay": None, "sitemaps": sitemaps}
+    return {
+        "rules": list(best["rules"]),
+        "crawl_delay": best["delay"],
+        "sitemaps": sitemaps,
+    }
 
 
 def decide(rules: list[tuple[str, bool]], path: str) -> tuple[bool, str | None]:
@@ -129,6 +143,27 @@ def rules_from_robots_txt(df: DataFrame, agent: str) -> DataFrame:
             )
 
     return df.select("host", "robots_txt").mapInPandas(run, RULE_SCHEMA)
+
+
+def sitemaps_from_robots_txt(df: DataFrame) -> DataFrame:
+    """(host, robots_txt) → (host, sm_pos, sitemap_url): every Sitemap
+    directive in file order, through the real parser (group-independent
+    collection). The discovery entrypoint feeding sources/sitemap.py —
+    tiny output, per-host, broadcastable like the rules."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for host, text in zip(pdf["host"], pdf["robots_txt"]):
+                parsed = parse_robots(str(text), agent="-")
+                rows.extend(
+                    (host, i, url) for i, url in enumerate(parsed["sitemaps"])
+                )
+            yield pd.DataFrame(rows, columns=["host", "sm_pos", "sitemap_url"])
+
+    return df.select("host", "robots_txt").mapInPandas(
+        run, "host string, sm_pos long, sitemap_url string"
+    )
 
 
 def apply_robots(frontier: DataFrame, rules: DataFrame) -> DataFrame:
