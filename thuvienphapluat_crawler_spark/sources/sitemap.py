@@ -12,8 +12,13 @@ discovery half.
 Real XML both ways: the writer emits namespaced sitemaps.org documents
 and the reader is stdlib ElementTree with explicit namespace handling —
 malformed XML, a wrong root element, or a <url> without <loc> raise.
-Entity/DTD tricks are a non-issue: ElementTree's default parser forbids
-entity expansion.
+Hostile-XML caveat (honest boundary): ElementTree never fetches
+external entities, and the bundled expat ships amplification limits
+against billion-laughs-style internal expansion, but a production
+crawler parsing adversarial sitemaps should still wrap this in
+defusedxml or an explicit DTD reject — this repo's inputs are
+synthesized, so the walker's strictness is about FORMAT correctness,
+not attacker containment.
 """
 
 from __future__ import annotations
