@@ -2019,6 +2019,93 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle() -> str:
+    from .operators.linkrank import DAMP_PM, SCALE
+
+    it = """
+    pr{next} AS (
+      SELECT nodes.node,
+             CAST((SELECT (CAST({scale} AS BIGINT) * {base_pm}) //
+                          (1000000 * c) FROM n) +
+                  coalesce(t.s, 0) AS BIGINT) AS pr
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node,
+               sum((pr{cur}.pr * {damp}) // (1000000 * od.cnt)) AS s
+        FROM edges e
+        JOIN pr{cur} ON pr{cur}.node = e.src
+        JOIN od ON od.src = e.src
+        GROUP BY e.dst) t ON nodes.node = t.node)
+    """
+    iters = "".join(
+        "," + it.format(next=i + 1, cur=i, scale=SCALE, damp=DAMP_PM,
+                        base_pm=1_000_000 - DAMP_PM)
+        for i in range(3)
+    )
+    return f"""
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    nodes AS (SELECT doc_id AS node FROM documents),
+    edges AS (
+      SELECT doc_id AS src, (doc_id * 7 + x.k) % n.c AS dst
+      FROM documents, n, (VALUES (1), (2), (3)) x(k)
+      WHERE (doc_id * 7 + x.k) % n.c != doc_id),
+    od AS (SELECT src, CAST(count(*) AS BIGINT) AS cnt FROM edges GROUP BY src),
+    pr0 AS (SELECT node, CAST((SELECT {SCALE} // c FROM n) AS BIGINT) AS pr
+            FROM nodes)
+    {iters}
+    SELECT pr3.node AS doc_id, pr3.pr,
+           CAST(coalesce(ind.cnt, 0) AS BIGINT) AS in_deg,
+           CAST(coalesce(od.cnt, 0) AS BIGINT) AS out_deg
+    FROM pr3
+    LEFT JOIN (SELECT dst, count(*) AS cnt FROM edges GROUP BY dst) ind
+      ON ind.dst = pr3.node
+    LEFT JOIN od ON od.src = pr3.node
+    ORDER BY doc_id
+    """
+
+
+@register("link_pagerank", _pagerank_oracle())
+def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-authority crawl prioritization: 3 integer-exact PageRank
+    iterations over a planted deterministic link graph (each doc links
+    to (doc_id*7 + k) % N for k in 1..3, self-loops dropped) — the
+    Cho/Garcia-Molina/Page URL-ordering signal the reference's
+    listing-order crawl never computes. PR mass in bigint micro-units
+    so Spark's partial-agg sums and DuckDB's serial sums are
+    bit-identical (float PR would differ in summation order); the
+    oracle replays all 3 iterations as unrolled CTEs. Per-iteration
+    plan shape in operators/linkrank.py."""
+    from .operators.linkrank import pagerank_int
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + F.col("k")) % n).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    pr = pagerank_int(edges, nodes, iters=3)
+    ind = edges.groupBy("dst").agg(F.count("*").alias("in_cnt"))
+    outd = edges.groupBy("src").agg(F.count("*").alias("out_cnt"))
+    return (
+        pr.join(ind, pr["node"] == ind["dst"], "left")
+        .join(outd, pr["node"] == outd["src"], "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            "pr",
+            F.coalesce("in_cnt", F.lit(0)).cast("bigint").alias("in_deg"),
+            F.coalesce("out_cnt", F.lit(0)).cast("bigint").alias("out_deg"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "sitemap_discover",
     """
@@ -5146,6 +5233,7 @@ _DRIVER_TAIL: tuple[str, ...] = (
     "sitemap_discover",
     "crawl_snapshot_merge",
     "robots_sitemap_urls",
+    "link_pagerank",
     # ANN family: bruteforce + multiprobe (strongest variant) stay in the head
     "emb_knn_lsh",
     "emb_knn_multitable",
