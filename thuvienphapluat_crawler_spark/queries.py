@@ -2019,6 +2019,79 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_sniff_formats",
+    """
+    SELECT doc_id,
+           CASE doc_id % 7 WHEN 0 THEN 'pdf' WHEN 1 THEN 'png'
+                WHEN 2 THEN 'wav' WHEN 3 THEN 'avi' WHEN 4 THEN 'warc'
+                WHEN 5 THEN 'xlsx' ELSE 'xml' END AS fmt,
+           CAST(CASE WHEN doc_id % 7 IN (2, 3, 5) THEN 2 ELSE 1 END
+                AS BIGINT) AS sniff_depth
+    FROM documents ORDER BY doc_id
+    """,
+)
+def media_sniff_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing across every real codec in the repo: each
+    doc synthesizes a blob with the REAL encoder its doc_id gate picks
+    (build_pdf / encode_png / encode_wav / encode_avi / WARC
+    encode_record / build_xlsx / sitemap XML), and sources/sniff.py
+    must call the format back from the BYTES alone — extension-blind,
+    the way a crawler must route (the reference routes on extensions,
+    ocr/format_doc.py; servers lie at web scale). sniff_depth gates
+    the two-step container logic separately (RIFF subtype, zip member
+    probe). Blob synth + sniff live in one mapInPandas — binary never
+    crosses a shuffle; only (doc_id, fmt, depth) leave the scan."""
+    import numpy as np
+    import pandas as _pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(it):
+        from .sources.avicodec import encode_avi
+        from .sources.pdfdoc import build_pdf
+        from .sources.pngcodec import encode_png
+        from .sources.sitemap import encode_urlset
+        from .sources.sniff import sniff_format
+        from .sources.warccodec import encode_record
+        from .sources.wavcodec import encode_wav
+        from .sources.workbook import build_xlsx
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                kind = d % 7
+                if kind == 0:
+                    blob = build_pdf([[f"Trang {d}", str(text)[:40]]])
+                elif kind == 1:
+                    img = ((d + np.arange(6 * 8 * 3)) % 256).astype(np.uint8)
+                    blob = encode_png(img.reshape(6, 8, 3))
+                elif kind == 2:
+                    i = np.arange(64, dtype=np.int64)[:, None]
+                    blob = encode_wav(((i * (d % 97 + 1)) % 2001) - 1000, 8000)
+                elif kind == 3:
+                    vid = ((d + np.arange(2 * 6 * 8 * 3)) % 256).astype(np.uint8)
+                    blob = encode_avi(vid.reshape(2, 6, 8, 3), 10)
+                elif kind == 4:
+                    blob = encode_record(
+                        f"https://docs.example.test/{d}", str(text).encode("ascii")
+                    )
+                elif kind == 5:
+                    blob = build_xlsx({"Sheet1": [[str(d), "a"], ["b", None]]})
+                else:
+                    blob = encode_urlset(
+                        [(f"https://docs.example.test/{d}", "2026-01-01")]
+                    ).encode("ascii")
+                fmt, depth = sniff_format(blob)
+                rows.append((d, fmt, depth))
+            yield _pd.DataFrame(rows, columns=["doc_id", "fmt", "sniff_depth"])
+
+    return docs.mapInPandas(run, "doc_id long, fmt string, sniff_depth long").orderBy(
+        "doc_id"
+    )
+
+
 def _pagerank_oracle() -> str:
     from .operators.linkrank import DAMP_PM, SCALE
 
@@ -5234,6 +5307,7 @@ _DRIVER_TAIL: tuple[str, ...] = (
     "crawl_snapshot_merge",
     "robots_sitemap_urls",
     "link_pagerank",
+    "media_sniff_formats",
     # ANN family: bruteforce + multiprobe (strongest variant) stay in the head
     "emb_knn_lsh",
     "emb_knn_multitable",
