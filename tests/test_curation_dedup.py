@@ -122,3 +122,25 @@ def test_duplicated_spans_requires_distinct_docs(spark):
     # a window repeated WITHIN one doc only is not a cross-doc duplicate
     docs = _docs(spark, [(1, "w0 w1 w2 w3 g w0 w1 w2 w3"), (2, "z0 z1 z2 z3 z4")])
     assert duplicated_spans(docs, k=4, min_docs=2).count() == 0
+
+
+def test_duplicated_spans_hash_collisions_verified_exactly(spark, span_docs):
+    # r07: the full-corpus shuffles key on xxhash64(win); correctness rests
+    # on the exact string verify over the hash-qualified candidates. Force
+    # EVERY window into one colliding "hash" bucket — the candidate set
+    # becomes all windows, and the output must still be exactly the
+    # true-duplicate spans (collisions add candidates, never results).
+    from pyspark.sql import functions as F
+
+    exact = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicated_spans(span_docs, k=4, min_docs=2).collect()
+    }
+    collided = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicated_spans(
+            span_docs, k=4, min_docs=2, hash_fn=lambda c: F.lit(0).cast("long")
+        ).collect()
+    }
+    assert collided == exact
+    assert exact  # non-vacuous: the shared passage is present

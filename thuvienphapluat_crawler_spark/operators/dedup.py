@@ -101,27 +101,49 @@ def lsh_dropped_buckets(bands: DataFrame, max_bucket_size: int = LSH_MAX_BUCKET)
     return _bucket_sizes(bands).filter(F.col("bucket_size") > max_bucket_size)
 
 
+def _pairs_from_sorted(ids):
+    """All (i < j) element pairs of an ASCENDING-sorted array column, as
+    array<struct<a,b>>. Group-local expression — no join, no extra
+    shuffle; callers bound |ids| (hot-bucket / df caps) so the quadratic
+    stays ≤ C(cap, 2) per group."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     bands: DataFrame, max_bucket_size: int | None = LSH_MAX_BUCKET
 ) -> DataFrame:
     """Docs sharing any LSH band bucket → distinct (doc_a < doc_b) pairs.
-    Self-join on (band, band_hash); buckets larger than max_bucket_size
-    are dropped first (a degenerate boilerplate bucket would otherwise
-    emit |B|² pairs — THE failure mode of LSH dedup at 100 TB). The size
-    filter is one extra aggregation on the same shuffle key, so no new
-    shuffle; pass max_bucket_size=None to disable the guard."""
-    # three consumers (size agg + both join sides) — materialize the
+    Buckets larger than max_bucket_size are dropped first (a degenerate
+    boilerplate bucket would otherwise emit |B|² pairs — THE failure mode
+    of LSH dedup at 100 TB); the size filter is one extra aggregation on
+    the same shuffle key, so no new shuffle. Pairs are generated
+    GROUP-LOCALLY: one groupBy(band, band_hash) collects the (size-capped)
+    bucket membership, and an array expression emits the C(|B|, 2) ≤
+    C(cap, 2) ordered pairs — this replaces the former bucket SELF-JOIN
+    (two more shuffles of the banded rows + a join probe) with zero
+    additional exchanges. Pass max_bucket_size=None to disable the guard
+    (test-only; an uncapped degenerate bucket then collects unbounded,
+    exactly as the uncapped self-join was unbounded)."""
+    # two consumers (size agg + the capped group pass) — materialize the
     # signature/banding subtree once instead of re-running it per branch
     bands = bands.localCheckpoint()
     if max_bucket_size is not None:
         sizes = _bucket_sizes(bands).filter(F.col("bucket_size") <= max_bucket_size)
         bands = bands.join(sizes.select("band", "band_hash"), ["band", "band_hash"])
-    l = bands.alias("l")
-    r = bands.alias("r")
+    grp = bands.groupBy("band", "band_hash").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
     return (
-        l.join(r, ["band", "band_hash"])
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        grp.select(F.explode(_pairs_from_sorted(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
 
@@ -147,15 +169,19 @@ def jaccard_on_pairs(pairs: DataFrame, token_hashes: DataFrame) -> DataFrame:
     )
 
 
-def shingles(text, n: int = 3):
-    """Word n-gram shingle array from a text column (distinct).
+def shingles_of(toks, n: int = 3):
+    """Word n-gram shingle array (distinct) from an ALREADY-TOKENIZED
+    array column. Callers should stage the token array as a projected
+    column first: higher-order-function lambdas block Spark's physical
+    subexpression elimination, so a raw `tokens(text)` subtree inside
+    the transform re-runs the regex split once per shingle position —
+    O(tokens²) splits per document (the r05 repetition-filter lesson).
 
-    Short-doc guard: for texts with fewer than n tokens the result is an
-    EMPTY array. Without the guard, ANSI sequence(1, k) with k <= 0
+    Short-doc guard: for arrays with fewer than n tokens the result is
+    an EMPTY array. Without the guard, ANSI sequence(1, k) with k <= 0
     descends ([1, 0]) and slice(toks, 0, n) throws at runtime — a latent
     crash the DuckDB oracle (range(1, greatest(len-n+1,0)+1) → empty)
     never shares."""
-    toks = tokens(text)
     k = F.size(toks) - (n - 1)
     return F.array_distinct(
         F.when(
@@ -166,6 +192,12 @@ def shingles(text, n: int = 3):
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
+
+
+def shingles(text, n: int = 3):
+    """Convenience wrapper: tokenize then shingle. Only for one-shot use —
+    see shingles_of for why repeated/derived use must stage the tokens."""
+    return shingles_of(tokens(text), n)
 
 
 def ngram_jaccard_pairs(
@@ -181,38 +213,66 @@ def ngram_jaccard_pairs(
     shingle (+ optional bucket) to form candidates, exact Jaccard ≥ τ.
 
     max_shingle_df caps a shingle's DOCUMENT FREQUENCY: a boilerplate
-    trigram appearing in d docs contributes d² join rows — the hot-key
-    blowup of shingle joins at corpus scale. Dropping shingles with
-    df > cap bounds per-key join work at cap²; intersections shrink by
-    the dropped (uninformative) shingles while set sizes stay exact, so
-    the estimate is conservative for near-dups that share rare content."""
-    base = docs.select(
+    trigram appearing in d docs contributes d² candidate pairs — the
+    hot-key blowup of shingle joins at corpus scale. Dropping shingles
+    with df > cap bounds per-key pair work at C(cap, 2); intersections
+    shrink by the dropped (uninformative) shingles while set sizes stay
+    exact, so the estimate is conservative for near-dups that share rare
+    content.
+
+    Shape: candidates are generated GROUP-LOCALLY — one groupBy on the
+    (bucket, shingle) key collects each df-capped posting list and an
+    array expression emits its ordered pairs, replacing the former
+    shingle SELF-JOIN (two extra shuffles + join probe). The per-doc set
+    size rides along in the posting-list struct, so the two final
+    size-lookup joins of the old plan are gone too: the only exchanges
+    are the posting-list groupBy (reused by the df-cap filter on the
+    same key) and the per-pair count."""
+    # stage the token array as its own projection so the shingle lambda
+    # slices a column attribute — NOT a re-inlined regex split per
+    # position (see shingles_of); CollapseProject keeps multi-referenced
+    # non-cheap aliases in their own Project
+    toks_df = docs.select(
         F.col(id_col).alias("doc_id"),
         *( [F.col(bucket_col).alias("bucket")] if bucket_col else [] ),
-        shingles(F.col(text_col), n).alias("sh"),
+        tokens(F.col(text_col)).alias("toks"),
     )
-    sizes = base.select("doc_id", F.size("sh").alias("n"))
-    ex = base.select("doc_id", *(["bucket"] if bucket_col else []), F.explode("sh").alias("s"))
-    # the self-join consumes ex twice and Catalyst re-runs the shingle
-    # explode per side — materialize the exploded shingles once
+    base = toks_df.select(
+        "doc_id",
+        *(["bucket"] if bucket_col else []),
+        shingles_of(F.col("toks"), n).alias("sh"),
+    )
+    # carry the doc's shingle-set size on every exploded row (one narrow
+    # int): the pair pipeline then never needs a sizes lookup join
+    ex = base.select(
+        "doc_id",
+        *(["bucket"] if bucket_col else []),
+        F.size("sh").alias("n"),
+        F.explode("sh").alias("s"),
+    )
+    # the df-cap filter and the posting-list groupBy both consume ex —
+    # materialize the exploded shingles once
     ex = ex.localCheckpoint()
     keys = (["bucket"] if bucket_col else []) + ["s"]
     if max_shingle_df is not None:
         df_ok = ex.groupBy(*keys).agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_shingle_df)
         ex = ex.join(df_ok.select(*keys), keys)
-    l = ex.alias("l")
-    r = ex.alias("r")
-    inter = (
-        l.join(r, keys)
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+    grp = ex.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ids")
     )
+    pairs = grp.select(F.explode(_pairs_from_sorted(F.col("ids"))).alias("p")).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.a.n").alias("n_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.b.n").alias("n_b"),
+    )
+    inter = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(F.count("*").alias("n_inter"))
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
-        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
+        inter.withColumn(
+            "jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4)
+        )
         .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
     )
 
 
@@ -317,10 +377,10 @@ def token_windows(
 ) -> DataFrame:
     """(doc_id, start, win): every k-token window of each document, with
     its 0-based start token index. Documents shorter than k tokens yield
-    no rows. The window STRING itself is the key downstream — exact by
-    construction; at web scale you'd key on xxhash64(win) and verify the
-    string only on hash-collision candidates (same hash-then-verify
-    shape as jaccard_on_pairs)."""
+    no rows. Downstream (duplicated_spans) keys the full-corpus shuffles
+    on xxhash64(win) — 8 bytes/row — and verifies the window STRING only
+    on the hash-qualified candidate subset, so k× corpus bytes never
+    cross an exchange (implemented r07; formerly a docstring TODO)."""
     toks = docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
     wins = toks.select(
         "doc_id",
@@ -346,6 +406,7 @@ def duplicated_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn=None,
 ) -> DataFrame:
     """Exact substring-span dedup, the ExactSubstr operator of
     [Lee et al., "Deduplicating Training Data Makes Language Models
@@ -360,23 +421,37 @@ def duplicated_spans(
     Returns (doc_id, span_start, span_end, n_windows): token-index
     half-open [span_start, span_end) per maximal duplicated span.
 
-    Scale shape: one window explode (O(tokens) narrow rows) → groupBy
-    on the window string with a distinct-doc count (map-side partial) →
-    left-semi join marks duplicated windows (both shuffles key on the
-    window string — boilerplate skew is bounded because the dup SET has
-    one row per distinct window regardless of frequency) → per-doc sort
-    is a window function over that doc's marked windows only. No
-    all-pairs stage anywhere; 100 TB cost is ~2 shuffles of
-    O(total tokens) narrow rows, the published Spark alternative to
-    suffix arrays for web-scale corpora."""
+    Scale shape (hash-then-verify, r07): one window explode (O(tokens)
+    narrow rows) → the FULL-corpus shuffles key on xxhash64(win), 8
+    bytes/row, never the k-token window string (k× corpus bytes at
+    100 TB): groupBy(hash) distinct-doc count (map-side partial) gates a
+    left-semi join down to the candidate rows whose hash group spans >=
+    min_docs docs. Hash collisions can only ADD candidates (a true
+    duplicate's group always contains its own docs — no false
+    negatives), so an exact verify re-runs the distinct-doc count on the
+    window STRING over the candidate subset only, which at web scale is
+    the tiny duplicated tail. Per-doc span merge is a window function
+    over that doc's marked windows only. No all-pairs stage anywhere.
+
+    hash_fn exists for tests: injecting a deliberately colliding "hash"
+    proves the verify pass keeps the output exact."""
     wins = token_windows(docs, k, id_col=id_col, text_col=text_col)
+    hash_fn = hash_fn or F.xxhash64
+    wins = wins.withColumn("_wh", hash_fn(F.col("win")))
+    dup_h = (
+        wins.groupBy("_wh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("_wh")
+    )
+    cand = wins.join(dup_h, "_wh", "left_semi")
     dup = (
-        wins.groupBy("win")
+        cand.groupBy("win")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= min_docs)
         .select("win")
     )
-    marked = wins.join(dup, "win", "left_semi")
+    marked = cand.join(dup, "win", "left_semi")
     prev_max_end = F.max(F.col("start") + k).over(
         Window.partitionBy("doc_id")
         .orderBy("start")

@@ -64,14 +64,25 @@ def change_history(
     )
 
 
-def freshness_schedule(history: DataFrame) -> DataFrame:
+def freshness_schedule(history: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Cho & Garcia-Molina lambda per page + the recrawl priority rank
     (1 = refetch first). Pages with < 2 observations have no interval
     evidence: lambda NULL, ranked LAST (ties by page_id).
 
     Columns: page_id, n_obs, n_changes, n_intervals, span_us,
     change_bp (integer basis points of intervals that changed),
-    lambda_per_day (rounded 6dp), priority."""
+    lambda_per_day (rounded 6dp), priority.
+
+    The global rank is DISTRIBUTED (r07): the order key
+    (lambda desc_nulls_last, page_id asc) is total — page_id is unique
+    per history row — so rank() degenerates to a global row_number,
+    computed as the shards.py two-phase prefix count:
+    repartitionByRange on the order key → per-partition row counts
+    (P scalars to the driver) → broadcast exclusive offsets →
+    partition-local row_number + offset. No SinglePartition exchange
+    anywhere; recrawl scheduling is exactly the operator that runs over
+    the full 10^10-page frontier, where a one-task global sort is the
+    plan's scale-killer."""
     h = history.withColumn("n_intervals", F.col("n_obs") - 1).withColumn(
         "span_us", F.col("last_us") - F.col("first_us")
     )
@@ -99,5 +110,24 @@ def freshness_schedule(history: DataFrame) -> DataFrame:
         ).alias("change_bp"),
         lam.alias("lambda_per_day"),
     )
-    rank_w = Window.orderBy(F.desc_nulls_last("lambda_per_day"), F.asc("page_id"))
-    return out.withColumn("priority", F.rank().over(rank_w).cast("bigint"))
+    spark = history.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    order_cols = [F.desc_nulls_last("lambda_per_day"), F.asc("page_id")]
+    parted = (
+        out.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin sampled range boundaries across passes
+    )
+    counts = parted.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    acc = 0
+    offsets = []
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((int(r["_pid"]), acc))
+        acc += int(r["_n"])
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off bigint")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        parted.join(F.broadcast(off_df), "_pid")
+        .withColumn("priority", (F.row_number().over(w) + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_off")
+    )

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 from collections.abc import Iterator
+from concurrent.futures import ThreadPoolExecutor
 from functools import reduce
 
 import numpy as np
@@ -130,8 +131,13 @@ class CrawlEngine:
         seeds = SW.seed_urls(self.world, self.seeds_per_host)
         raw = self.spark.createDataFrame([(u,) for u in seeds], "canonical_url string")
         fr = self._frontier_cols(raw.withColumn("depth", F.lit(0)), "depth", 0)
-        self.wh.stage("frontier", 0, fr.repartition(self.n_buckets, "host_bucket"))
-        self._bloom_update(fr, epoch=0)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(self.wh.stage, "frontier", 0, fr.repartition(self.n_buckets, "host_bucket")),
+                pool.submit(self._bloom_update, fr, 0),
+            ]
+            for f in futs:
+                f.result()
         self.wh.commit_epoch(0, ["frontier"], lineage={"seeds": len(seeds)})
 
     def _cookie_dim(self) -> DataFrame:
@@ -338,6 +344,20 @@ class CrawlEngine:
             )
         )
 
+        # The epoch's outputs split into two independent dataflows off the
+        # localCheckpoint'ed fetch: (a) parse → docs + the crawl_log copy,
+        # (b) outlinks → bloom probe → frontier delta. Each is a chain of
+        # small overhead-dominated jobs, so running (a) on a worker thread
+        # while the main thread drives (b) overlaps their job latencies
+        # (Spark schedules concurrent jobs FIFO; back-fill the tail). The
+        # manifest commit still happens strictly after ALL writes land, so
+        # atomicity/resume semantics are unchanged.
+        pool = ThreadPoolExecutor(max_workers=3)
+        early_futs = [
+            pool.submit(wh.stage, "crawl_log", epoch, fetched),
+            pool.submit(wh.stage, "docs", epoch, docs),
+        ]
+
         links = ok.select("canonical_url", "depth").mapInPandas(self._outlinks_fn(), OUTLINK_SCHEMA)
         cand_urls = links.groupBy("out_url").agg((F.min("src_depth") + 1).alias("depth"))
         cands = self._frontier_cols(
@@ -392,11 +412,16 @@ class CrawlEngine:
             )
         )
 
-        wh.stage("crawl_log", epoch, fetched)
-        wh.stage("docs", epoch, docs)
-        wh.stage("frontier", epoch, new_rows.repartition(self.n_buckets, "host_bucket"))
-        wh.stage("checkpoints", epoch, checkpoints)
-        self._bloom_update(new_rows, epoch)
+        try:
+            futs = early_futs + [
+                pool.submit(wh.stage, "frontier", epoch, new_rows.repartition(self.n_buckets, "host_bucket")),
+                pool.submit(wh.stage, "checkpoints", epoch, checkpoints),
+                pool.submit(self._bloom_update, new_rows, epoch),
+            ]
+            for f in futs:
+                f.result()  # propagate the first failure, never commit partial
+        finally:
+            pool.shutdown(wait=True)
         wh.commit_epoch(
             epoch,
             ["crawl_log", "docs", "frontier", "checkpoints"],

@@ -818,7 +818,11 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orig = docs.select((F.col("doc_id") * 4).alias("doc_id"), "text")
     near = docs.select((F.col("doc_id") * 4 + 1).alias("doc_id"), F.concat("text", F.lit(" dupmarker")).alias("text"))
     exact = docs.select((F.col("doc_id") * 4 + 2).alias("doc_id"), "text")
-    return orig.unionByName(near).unionByName(exact)
+    # _fanout: the test-SF documents.parquet is ONE row group → the scan
+    # stage (where every consumer's tokenize/md5 work runs) would execute
+    # on a single core (§2 of the optimization playbook: fix parallelism
+    # before per-task work)
+    return _fanout(orig.unionByName(near).unionByName(exact), spark)
 
 
 @register(
@@ -909,7 +913,7 @@ def docs_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm is independent. n_bpe_tokens uses disjoint GPT-2-style
     pre-tokenizer classes (letters/digits/other runs), chosen so Java
     leftmost-first and RE2 leftmost-longest tokenize identically."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     return (
         docs.withColumn("_codes", X.char_codes("text"))  # one O(n) pass, O(1) indexing
         .select(
@@ -953,7 +957,7 @@ def _lang_id_oracle() -> str:
 @register("docs_lang_id", _lang_id_oracle())
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token-vote language ID (n-gram heuristic family)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     out = X.lang_id_columns(docs).drop("text")
     score_cols = [F.col(f"score_{lang}").cast("bigint").alias(f"score_{lang}") for lang in X.LANG_MARKERS]
     return out.select("doc_id", *score_cols, "lang_pred").orderBy("doc_id")
@@ -1123,7 +1127,9 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.concat("text", F.lit(" dupmarker")).alias("text"),
     )
-    corpus = orig.unionByName(near)
+    # _fanout: single-row-group test file → tokenize/shingle would run on
+    # one core in the scan stage otherwise
+    corpus = _fanout(orig.unionByName(near), spark)
     return (
         D.ngram_jaccard_pairs(corpus, bucket_col="source", threshold=0.8, n=3, max_shingle_df=64)
         .select("doc_a", "doc_b", "jaccard")
@@ -1168,17 +1174,21 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     without ever shuffling; the single shuffle is the per-doc hit count.
     Docs with ≥3 distinct eval shingles are reported with their
     contaminated fraction."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100
     )
+    # stage (bkt, toks) once: the shingle lambda then slices a column
+    # attribute instead of re-running the regex split per position
+    base = docs.select("doc_id", bucket.alias("bkt"), X.tokens(F.col("text")).alias("toks"))
+    sh = D.shingles_of(F.col("toks"), 5)
     eval_sh = (
-        docs.filter(bucket < 5)
-        .select(F.explode(D.shingles(F.col("text"), 5)).alias("g"))
+        base.filter(F.col("bkt") < 5)
+        .select(F.explode(sh).alias("g"))
         .distinct()
     )
-    train = docs.filter(bucket >= 5).select("doc_id", D.shingles(F.col("text"), 5).alias("sh"))
+    train = base.filter(F.col("bkt") >= 5).select("doc_id", sh.alias("sh"))
     hits = (
         train.select("doc_id", F.size("sh").cast("bigint").alias("n_sh"), F.explode("sh").alias("g"))
         .join(F.broadcast(eval_sh), "g")
@@ -1248,17 +1258,18 @@ def docs_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on doc_id, set size bounded by doc length) and a
     higher-order-function rebuild (filter/transform on the token array,
     scan-side, no Python)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100
     )
+    base = docs.select("doc_id", bucket.alias("bkt"), X.tokens(F.col("text")).alias("toks"))
     eval_sh = (
-        docs.filter(bucket < 5)
-        .select(F.explode(D.shingles(F.col("text"), 5)).alias("g"))
+        base.filter(F.col("bkt") < 5)
+        .select(F.explode(D.shingles_of(F.col("toks"), 5)).alias("g"))
         .distinct()
     )
-    train = docs.filter(bucket >= 5).select("doc_id", X.tokens(F.col("text")).alias("ws"))
+    train = base.filter(F.col("bkt") >= 5).select("doc_id", F.col("toks").alias("ws"))
     # shared by the gram explode and the rebuild join — materialize once
     train = train.localCheckpoint()
     grams = (
@@ -1368,7 +1379,7 @@ _KNN_QUERY_IDS = list(range(10))
 def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for 10 probe vectors: broadcast probes, single
     scan of the corpus, per-probe top-k window. No corpus shuffle."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _fanout(load(spark, sf_dir, "embeddings"), spark)
     return S.brute_force_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
 
 
@@ -1401,7 +1412,7 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     an 8-bit signature; exact cosine only within the bucket. The
     bucket-id projection is one narrow map; candidate join keys on the
     bucket — the layout that scales to 10^9 vectors."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _fanout(load(spark, sf_dir, "embeddings"), spark)
     return S.lsh_ann_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
 
 
@@ -1447,7 +1458,7 @@ def emb_knn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     across tables (recall 1-(1-p^6)^4 instead of p^8); exact cosine on
     distinct candidates only. Vectors never fan out L-fold — the bucket
     projections are (id, table, bucket) narrow rows."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _fanout(load(spark, sf_dir, "embeddings"), spark)
     return S.lsh_multitable_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
 
 
@@ -1486,7 +1497,7 @@ def emb_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay broadcast-small (|Q|·L·7 narrow ints). Measured on the recall
     harness (tools/ann_recall.py): recall@5 uplift over the single-probe
     variant at the same table count."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _fanout(load(spark, sf_dir, "embeddings"), spark)
     return S.lsh_multiprobe_topk(emb, _KNN_QUERY_IDS, k=5).orderBy("query_id", "rank")
 
 
@@ -1526,7 +1537,7 @@ def _emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
     """(aug corpus with planted twins, verified near-dup pairs) — the
     engine twin of _emb_near_dup_ctes, shared by the pair query and the
     cluster-resolution query."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _fanout(load(spark, sf_dir, "embeddings"), spark)
     base = emb.select((F.col("vec_id") * 2).alias("nid"), S.as_double(F.col("embedding")).alias("ne"))
     twin_vec = F.concat(
         F.array(F.element_at(S.as_double(F.col("embedding")), 1) + 0.05),
@@ -1708,7 +1719,7 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (what a training-data pipeline needs for audit + incremental
     rebuilds; RNG sampleBy can't give the oracle or a re-run the same
     rows). Rates dim is broadcast; the gate is a scan-side expression."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     labeled = X.lang_id_columns(docs).select("doc_id", "lang_pred")
     rates = spark.createDataFrame(
         list(_SAMPLE_RATES_BP.items()), "lang_pred string, rate_bp long"
@@ -1783,7 +1794,7 @@ def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition payload so the filter demonstrably fires. Scale shape:
     one explode -> one (doc_id, n, gram) count with map-side combine ->
     per-doc conditional agg; all shuffle keys are doc-rooted."""
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _fanout(load(spark, sf_dir, "documents"), spark).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 10 == 0,
@@ -1826,7 +1837,7 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod gates), counted and replaced with [EMAIL]/[PHONE] markers; the
     cleaned text crosses the oracle boundary as md5. Pure scan-side
     regexp columns — zero shuffles beyond the presentation sort."""
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _fanout(load(spark, sf_dir, "documents"), spark).select(
         "doc_id",
         F.concat(
             "text",
@@ -1910,7 +1921,7 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     order. Scale shape: one groupBy(line) count (map-side partial) →
     the frequent-line set broadcasts into a left-anti join — the corpus
     never shuffles for the removal (operators/corpusops.line_dedup)."""
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _fanout(load(spark, sf_dir, "documents"), spark).select(
         "doc_id",
         F.concat(
             "text",
@@ -1983,7 +1994,7 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     span dedup from plain window matching. span_md5 hashes the decoded
     span text, so boundary arithmetic errors break the gate. Scale
     shape in operators/dedup.duplicated_spans."""
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _fanout(load(spark, sf_dir, "documents"), spark).select(
         "doc_id",
         F.concat(
             "text",
@@ -2758,7 +2769,7 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=3 nearest lists with exact cosine. Assignment is a row-wise
     expression over centroid literals (zero shuffles); candidates flow
     through one BroadcastHashJoin on the list id."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _fanout(load(spark, sf_dir, "embeddings"), spark)
     return C.ivf_topk(emb, _KNN_QUERY_IDS, k=5, lloyd_steps=1).orderBy("query_id", "rank")
 
 
@@ -3089,7 +3100,7 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fragments — the engine must invert the HTML to match."""
     from .sources.html_parse import extract_documents, parse_pages
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     nl = "\n"
     sid = F.col("doc_id").cast("string")
     f1, f2 = F.substring("text", 1, 20), F.substring("text", 21, 15)
@@ -3155,7 +3166,7 @@ _TABLE_ROWS_SQL = f"""
 
 
 def _table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     base = docs.select(
         "doc_id",
         "text",
@@ -4259,7 +4270,7 @@ def docs_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fixtures."""
     from .functions.text import postprocess_fold
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     nl = "\n"
     dn = _doc_name_col()
     content = F.concat(
@@ -4913,7 +4924,7 @@ def docs_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import postprocess_fold
     from .sources.html_parse import extract_documents, parse_pages
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     nl = "\n"
     sid = F.col("doc_id").cast("string")
     f1, f2 = F.substring("text", 1, 20), F.substring("text", 21, 15)
