@@ -60,10 +60,18 @@ def doc_token_hashes(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hashes: DataFrame | None = None,
+) -> DataFrame:
     """Per-doc MinHash signature columns sig0..sig{K-1}:
-    sig_k = min((a_k·(h mod p) + b_k) mod p) over the doc's token hashes."""
-    th = doc_token_hashes(docs, id_col, text_col)
+    sig_k = min((a_k·(h mod p) + b_k) mod p) over the doc's token hashes.
+    Pass token_hashes (a doc_token_hashes result, ideally materialized)
+    when the caller also needs the hashes elsewhere (exact-Jaccard
+    verify) — tokenize+md5 then runs once, not once per consumer."""
+    th = token_hashes if token_hashes is not None else doc_token_hashes(docs, id_col, text_col)
     hm = F.col("h") % MINHASH_P
     aggs = [
         F.min((hm * F.lit(MINHASH_A[k]) + F.lit(MINHASH_B[k])) % MINHASH_P).alias(f"sig{k}")
@@ -149,19 +157,27 @@ def lsh_candidate_pairs(
 
 
 def jaccard_on_pairs(pairs: DataFrame, token_hashes: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs from per-doc token-hash sets."""
-    sizes = token_hashes.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ta = token_hashes.select(F.col("doc_id").alias("doc_a"), "h")
-    tb = token_hashes.select(F.col("doc_id").alias("doc_b"), "h")
-    inter = (
-        pairs.join(ta, "doc_a")
-        .join(tb, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    """Exact Jaccard for candidate pairs from per-doc token-hash sets.
+
+    r07 shape: fold each doc's (distinct) hashes into ONE set array, join
+    the candidate pairs against it twice (narrow equi-joins on the doc
+    ids), and compute |A∩B| group-locally with array_intersect. The old
+    plan exploded every pair by doc_a's tokens (|pairs|·|tokens| rows)
+    into a (doc_b, h) equi-join plus two more size-lookup joins; here the
+    heavy rows are 2·|token_hashes| set arrays and the per-pair work is
+    an in-memory intersection — candidate pairs are ≪ corpus at every
+    scale, and a doc's token-hash set must fit in a task either way."""
+    sets = token_hashes.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        pairs.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("_ha")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("_hb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_ha", "_hb")).cast("long").alias("n_inter"),
+            F.size("_ha").cast("long").alias("n_a"),
+            F.size("_hb").cast("long").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
@@ -343,23 +359,21 @@ def connected_components(
             .select(
                 labels["node"].alias("node"),
                 F.least(F.col("comp"), F.coalesce("nb_comp", F.col("comp"))).alias("comp"),
+                labels["comp"].alias("prev_comp"),
             )
         )
         # shortcut (pointer jumping): comp(u) <- comp(comp(u)). Labels are
-        # always node ids, so the mapping join is total.
+        # always node ids, so the mapping join is total. The PREVIOUS
+        # label rides along so the convergence check is a filter over the
+        # freshly checkpointed round — not an extra old-vs-new join.
         ptr = hooked.select(F.col("node").alias("cnode"), F.col("comp").alias("ccomp"))
         new = (
             hooked.join(ptr, hooked["comp"] == ptr["cnode"])
-            .select("node", F.col("ccomp").alias("comp"))
+            .select("node", F.col("ccomp").alias("comp"), F.col("prev_comp"))
             .localCheckpoint()
         )
-        n_changed = (
-            new.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new
+        n_changed = new.filter(F.col("comp") != F.col("prev_comp")).count()
+        labels = new.select("node", "comp")
         if n_changed == 0:
             converged = True
             break

@@ -1032,9 +1032,11 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation is a bucket equi-join (never O(n²)); hot buckets
     are the skew case AQE splits."""
     corpus = _augmented_docs(spark, sf_dir)
-    sigs = D.minhash_signatures(corpus)
+    # one tokenize+md5 pass feeds BOTH the signatures and the exact
+    # verify (was two full doc_token_hashes computations)
+    th = D.doc_token_hashes(corpus).localCheckpoint()
+    sigs = D.minhash_signatures(corpus, token_hashes=th)
     pairs = D.lsh_candidate_pairs(D.minhash_bands(sigs))
-    th = D.doc_token_hashes(corpus)
     return (
         D.jaccard_on_pairs(pairs, th)
         .filter(F.col("jaccard") >= 0.5)
@@ -4527,9 +4529,10 @@ def crawl_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ).alias("text"),
         )
-        pairs = D.lsh_candidate_pairs(D.minhash_bands(D.minhash_signatures(texts)))
+        th = D.doc_token_hashes(texts).localCheckpoint()
+        pairs = D.lsh_candidate_pairs(D.minhash_bands(D.minhash_signatures(texts, token_hashes=th)))
         out = (
-            D.jaccard_on_pairs(pairs, D.doc_token_hashes(texts))
+            D.jaccard_on_pairs(pairs, th)
             .select("doc_a", "doc_b", F.col("n_inter").cast("bigint").alias("n_inter"),
                     F.col("n_a").cast("bigint").alias("n_a"),
                     F.col("n_b").cast("bigint").alias("n_b"), "jaccard")
