@@ -294,21 +294,22 @@ def ngram_jaccard_pairs(
 
 def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash: per bit, sum +1/-1 over distinct token hashes; bit
-    set iff sum > 0. One explode over (tokens × 32 bits) then two
-    aggregations — linear in corpus size."""
+    set iff sum > 0 (equivalently 2·|set bits| > |tokens| — exact integer
+    comparison either way). One groupBy(doc_id) folds the distinct token
+    hashes into a set array and the 32 bit-majorities are computed
+    GROUP-LOCALLY over that array (r07): the former (tokens × 32 bits)
+    explode shipped 32× the token rows through two aggregations; this
+    form shuffles each token hash once and does the ×32 work in-memory
+    per doc. Linear in corpus size, and per-doc state is the token-hash
+    set a doc contributes anyway."""
     th = doc_token_hashes(docs, id_col, text_col)
-    bits = th.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+    sets = th.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    simhash = F.expr(
+        "aggregate(sequence(0, 31), 0L, (acc, bit) -> acc + "
+        "IF(2 * size(filter(hs, h -> ((h >> bit) & 1) = 1)) > size(hs), "
+        "shiftleft(1L, bit), 0L))"
     )
-    bitvals = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
-    return bitvals.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))).alias("simhash")
-    )
+    return sets.select("doc_id", simhash.alias("simhash"))
 
 
 def connected_components(

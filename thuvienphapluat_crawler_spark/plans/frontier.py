@@ -359,10 +359,22 @@ class CrawlEngine:
         ]
 
         links = ok.select("canonical_url", "depth").mapInPandas(self._outlinks_fn(), OUTLINK_SCHEMA)
-        cand_urls = links.groupBy("out_url").agg((F.min("src_depth") + 1).alias("depth"))
-        cands = self._frontier_cols(
-            cand_urls.withColumnRenamed("out_url", "canonical_url"), "depth", epoch + 1
-        ).repartition(self.n_buckets, "host_bucket")
+        # one shuffle, not two: frontier columns are per-URL expressions, so
+        # compute them BEFORE the exchange, repartition by host_bucket once,
+        # and fold duplicate outlinks (min-depth) colocated — the groupBy
+        # keys contain host_bucket, so the agg reuses the repartition
+        # layout instead of adding its own url-keyed exchange.
+        ann = self._frontier_cols(
+            links.withColumnRenamed("out_url", "canonical_url"), "src_depth", epoch + 1
+        )
+        frontier_cols = [f.split()[0] for f in FRONTIER_SCHEMA.split(", ")]
+        id_cols = [c for c in frontier_cols if c != "depth"]
+        cands = (
+            ann.repartition(self.n_buckets, "host_bucket")
+            .groupBy(*id_cols)
+            .agg((F.min("depth") + 1).cast("int").alias("depth"))
+            .select(*frontier_cols)
+        )
 
         probed = cands.mapInPandas(self._bloom_probe_fn(epoch - 1), FRONTIER_SCHEMA + ", maybe_seen boolean")
         probed = probed.localCheckpoint()

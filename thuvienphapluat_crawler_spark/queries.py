@@ -1346,7 +1346,8 @@ def docs_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup check: Hamming distance between each doc and its
     injected near-duplicate (expected small)."""
     corpus = _augmented_docs(spark, sf_dir)
-    sh = D.simhash32(corpus)
+    # both sides of the neighbor join read the sketches — compute once
+    sh = D.simhash32(corpus).localCheckpoint()
     a = sh.filter(F.col("doc_id") % 4 == 0).alias("a")
     b = sh.alias("b")
     return (
