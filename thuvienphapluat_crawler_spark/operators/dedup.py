@@ -51,33 +51,55 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
-def doc_token_hashes(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, h) — one row per DISTINCT token hash per doc."""
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
-        .select("doc_id", token_hash32(F.col("tok")).alias("h"))
-        .distinct()
+def doc_hash_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, hs: array<long>) — each doc's DISTINCT token-hash set as
+    ONE row-local array (r07). tokenize → hash → dedup are all per-row
+    expressions, so the set is built in the scan stage with ZERO
+    shuffles; the old doc_token_hashes shape paid a full-corpus
+    distinct() exchange for the same result. The outer array_distinct
+    covers 32-bit hash collisions between distinct tokens of one doc.
+    Per-doc state is the set a doc contributes to any sketch anyway."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(F.array_distinct(tokens(F.col(text_col))), token_hash32)
+        ).alias("hs"),
     )
+
+
+def doc_token_hashes(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, h) — one row per DISTINCT token hash per doc (the
+    exploded view of doc_hash_sets; same rows as the former
+    explode+distinct plan, without its exchange)."""
+    return doc_hash_sets(docs, id_col, text_col).select("doc_id", F.explode("hs").alias("h"))
 
 
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    token_hashes: DataFrame | None = None,
+    hash_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature columns sig0..sig{K-1}:
     sig_k = min((a_k·(h mod p) + b_k) mod p) over the doc's token hashes.
-    Pass token_hashes (a doc_token_hashes result, ideally materialized)
-    when the caller also needs the hashes elsewhere (exact-Jaccard
-    verify) — tokenize+md5 then runs once, not once per consumer."""
-    th = token_hashes if token_hashes is not None else doc_token_hashes(docs, id_col, text_col)
-    hm = F.col("h") % MINHASH_P
-    aggs = [
-        F.min((hm * F.lit(MINHASH_A[k]) + F.lit(MINHASH_B[k])) % MINHASH_P).alias(f"sig{k}")
+
+    r07: computed ROW-LOCALLY over the doc's hash-set array (array_min of
+    a per-permutation transform) — zero shuffles; the former shape
+    shuffled every (doc_id, h) row into a 16-aggregate groupBy. Pass
+    hash_sets (a doc_hash_sets result, ideally materialized) when the
+    caller also needs the sets elsewhere (exact-Jaccard verify) so
+    tokenize+md5 runs once, not once per consumer."""
+    hsets = hash_sets if hash_sets is not None else doc_hash_sets(docs, id_col, text_col)
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: ((h % MINHASH_P) * F.lit(MINHASH_A[k]) + F.lit(MINHASH_B[k])) % MINHASH_P,
+            )
+        ).alias(f"sig{k}")
         for k in range(MINHASH_K)
     ]
-    return th.groupBy("doc_id").agg(*aggs)
+    return hsets.select("doc_id", *sig_cols)
 
 
 def minhash_bands(sigs: DataFrame) -> DataFrame:
@@ -156,18 +178,19 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_on_pairs(pairs: DataFrame, token_hashes: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs from per-doc token-hash sets.
+def jaccard_on_pairs(pairs: DataFrame, hash_sets: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs from per-doc token-hash sets
+    (a doc_hash_sets result — (doc_id, hs) arrays).
 
-    r07 shape: fold each doc's (distinct) hashes into ONE set array, join
-    the candidate pairs against it twice (narrow equi-joins on the doc
-    ids), and compute |A∩B| group-locally with array_intersect. The old
-    plan exploded every pair by doc_a's tokens (|pairs|·|tokens| rows)
-    into a (doc_b, h) equi-join plus two more size-lookup joins; here the
-    heavy rows are 2·|token_hashes| set arrays and the per-pair work is
-    an in-memory intersection — candidate pairs are ≪ corpus at every
-    scale, and a doc's token-hash set must fit in a task either way."""
-    sets = token_hashes.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    r07 shape: join the candidate pairs against the set table twice
+    (narrow equi-joins on the doc ids) and compute |A∩B| group-locally
+    with array_intersect. The old plan exploded every pair by doc_a's
+    tokens (|pairs|·|tokens| rows) into a (doc_b, h) equi-join plus two
+    more size-lookup joins; here the heavy rows are 2·|corpus| set
+    arrays and the per-pair work is an in-memory intersection —
+    candidate pairs are ≪ corpus at every scale, and a doc's token-hash
+    set must fit in a task either way."""
+    sets = hash_sets.select("doc_id", "hs")
     return (
         pairs.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("_ha")), "doc_a")
         .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("_hb")), "doc_b")
@@ -295,15 +318,12 @@ def ngram_jaccard_pairs(
 def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash: per bit, sum +1/-1 over distinct token hashes; bit
     set iff sum > 0 (equivalently 2·|set bits| > |tokens| — exact integer
-    comparison either way). One groupBy(doc_id) folds the distinct token
-    hashes into a set array and the 32 bit-majorities are computed
-    GROUP-LOCALLY over that array (r07): the former (tokens × 32 bits)
-    explode shipped 32× the token rows through two aggregations; this
-    form shuffles each token hash once and does the ×32 work in-memory
-    per doc. Linear in corpus size, and per-doc state is the token-hash
-    set a doc contributes anyway."""
-    th = doc_token_hashes(docs, id_col, text_col)
-    sets = th.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    comparison either way). Computed ROW-LOCALLY over the doc's hash-set
+    array (r07) — ZERO shuffles; the former (tokens × 32 bits) explode
+    shipped 32× the token rows through two aggregations. Linear in corpus
+    size, and per-doc state is the token-hash set a doc contributes
+    anyway."""
+    sets = doc_hash_sets(docs, id_col, text_col)
     simhash = F.expr(
         "aggregate(sequence(0, 31), 0L, (acc, bit) -> acc + "
         "IF(2 * size(filter(hs, h -> ((h >> bit) & 1) = 1)) > size(hs), "

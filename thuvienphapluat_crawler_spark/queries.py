@@ -1032,13 +1032,13 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation is a bucket equi-join (never O(n²)); hot buckets
     are the skew case AQE splits."""
     corpus = _augmented_docs(spark, sf_dir)
-    # one tokenize+md5 pass feeds BOTH the signatures and the exact
-    # verify (was two full doc_token_hashes computations)
-    th = D.doc_token_hashes(corpus).localCheckpoint()
-    sigs = D.minhash_signatures(corpus, token_hashes=th)
+    # one ROW-LOCAL tokenize+md5 pass (zero shuffles) feeds BOTH the
+    # signatures and the exact verify
+    sets = D.doc_hash_sets(corpus).localCheckpoint()
+    sigs = D.minhash_signatures(corpus, hash_sets=sets)
     pairs = D.lsh_candidate_pairs(D.minhash_bands(sigs))
     return (
-        D.jaccard_on_pairs(pairs, th)
+        D.jaccard_on_pairs(pairs, sets)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -2540,6 +2540,11 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").selectExpr(
         "doc_id", "text", "doc_id div 25 AS segment"
     )
+    # explicit REPARTITION_BY_NUM on the group key: AQE would coalesce the
+    # tiny groupBy shuffle to 1-2 partitions and serialize the Python
+    # codec pass; a user-specified repartition is exempt from coalescing
+    # and the groupBy reuses its layout (no extra exchange)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "segment")
 
     def seg(pdf: _pd.DataFrame) -> _pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
@@ -2617,6 +2622,11 @@ def warc_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").selectExpr(
         "doc_id", "text", "doc_id div 25 AS segment"
     )
+    # explicit REPARTITION_BY_NUM on the group key: AQE would coalesce the
+    # tiny groupBy shuffle to 1-2 partitions and serialize the Python
+    # codec pass; a user-specified repartition is exempt from coalescing
+    # and the groupBy reuses its layout (no extra exchange)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "segment")
 
     def seg(pdf: _pd.DataFrame) -> _pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
@@ -4530,10 +4540,10 @@ def crawl_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ).alias("text"),
         )
-        th = D.doc_token_hashes(texts).localCheckpoint()
-        pairs = D.lsh_candidate_pairs(D.minhash_bands(D.minhash_signatures(texts, token_hashes=th)))
+        sets = D.doc_hash_sets(texts).localCheckpoint()
+        pairs = D.lsh_candidate_pairs(D.minhash_bands(D.minhash_signatures(texts, hash_sets=sets)))
         out = (
-            D.jaccard_on_pairs(pairs, th)
+            D.jaccard_on_pairs(pairs, sets)
             .select("doc_a", "doc_b", F.col("n_inter").cast("bigint").alias("n_inter"),
                     F.col("n_a").cast("bigint").alias("n_a"),
                     F.col("n_b").cast("bigint").alias("n_b"), "jaccard")
@@ -4959,6 +4969,12 @@ def docs_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("content")
     )
+    # the 14-regex fold is the expensive per-row step and runs AFTER the
+    # per-doc aggregation, whose tiny output AQE coalesces to 1-2
+    # partitions — fan it back out so the fold parallelizes (same
+    # justification as _fanout at the scan: at warehouse scale the agg
+    # output is already wide and this exchange is no-op-sized)
+    content = _fanout(content, spark)
     names = docs.select(sid.alias("doc_id"), dn.alias("dn"))
     out = content.join(names, "doc_id").select(
         "doc_id",
