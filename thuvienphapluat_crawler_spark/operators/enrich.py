@@ -78,33 +78,35 @@ def chunk_table_rows(
     """Fixed-size chunking with header re-emission: within each group
     ordered by offset, row 0 is the header; body rows get
     chunk_id = (rn-1) // chunk_rows and every chunk re-emits the header
-    as its first row (format_xls.py:221-240 semantics)."""
+    as its first row (format_xls.py:221-240 semantics).
+
+    r07 shape: ONE window pass (row_number + group-wide max share the
+    same partitioning, so one exchange and one sort) and a per-row
+    explode — the header's chunk list is [0..n_chunks-1], a body row's
+    is its single chunk. The former plan split header/body into two
+    branches, aggregated chunk counts, joined them back and unioned —
+    three more exchanges whose union also erased the group clustering
+    for every downstream groupBy."""
     w = Window.partitionBy(*group_cols).orderBy(order_col)
+    wall = Window.partitionBy(*group_cols)
     numbered = rows.withColumn("_rn", F.row_number().over(w))
-    header = numbered.filter(F.col("_rn") == 1)
-    body = numbered.filter(F.col("_rn") > 1).withColumn(
-        "chunk_id", F.floor((F.col("_rn") - 2) / chunk_rows).cast("int")
+    body_chunk = F.floor((F.col("_rn") - 2) / chunk_rows).cast("int")
+    # groups with no body rows still emit the header once (n_chunks = 1);
+    # window expressions must be staged in their own projection — a
+    # generator argument cannot contain them
+    numbered = numbered.withColumn(
+        "_nc",
+        F.coalesce(F.max(F.when(F.col("_rn") > 1, body_chunk)).over(wall) + 1, F.lit(1)),
     )
-    n_chunks = body.groupBy(*group_cols).agg(
-        (F.max("chunk_id") + 1).alias("_nc")
-    )
-    header_per_chunk = (
-        header.join(n_chunks, group_cols, "left")
-        .withColumn("_nc", F.coalesce("_nc", F.lit(1)))
-        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
-        .withColumn("is_header", F.lit(True))
-        .drop("_nc")
-    )
-    return (
-        header_per_chunk.select(*group_cols, "chunk_id", "is_header", order_col, "_rn",
-                                *[c for c in rows.columns if c not in group_cols + [order_col]])
-        .unionByName(
-            body.withColumn("is_header", F.lit(False)).select(
-                *group_cols, "chunk_id", "is_header", order_col, "_rn",
-                *[c for c in rows.columns if c not in group_cols + [order_col]]
-            )
-        )
-        .drop("_rn")
+    chunk_ids = F.when(
+        F.col("_rn") == 1, F.sequence(F.lit(0), F.col("_nc") - 1)
+    ).otherwise(F.array(body_chunk))
+    return numbered.select(
+        *group_cols,
+        F.explode(chunk_ids).alias("chunk_id"),
+        (F.col("_rn") == 1).alias("is_header"),
+        order_col,
+        *[c for c in rows.columns if c not in group_cols + [order_col]],
     )
 
 
