@@ -215,6 +215,10 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.spans import explode_to_spans
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the test-SF file is one row group → one scan task; the Python codec
+    # synthesis downstream runs in this stage, so spread it across cores
+    # (no-op-sized shuffle of narrow rows at warehouse scale)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     spans = explode_to_spans(docs).filter(F.col("kind") == "media")
     # kind cycles with doc_id + offset: offset alone only ever takes values
     # {4, 9} on this corpus (≤2 media spans/doc), which left 'video' a kind

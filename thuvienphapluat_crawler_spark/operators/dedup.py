@@ -162,9 +162,10 @@ def lsh_candidate_pairs(
     additional exchanges. Pass max_bucket_size=None to disable the guard
     (test-only; an uncapped degenerate bucket then collects unbounded,
     exactly as the uncapped self-join was unbounded)."""
-    # two consumers (size agg + the capped group pass) — materialize the
-    # signature/banding subtree once instead of re-running it per branch
-    bands = bands.localCheckpoint()
+    # the size gate and the group pass both shuffle bands by the SAME
+    # (band, band_hash) key, so Spark's exchange reuse evaluates the
+    # signature/banding subtree once — cheaper than a localCheckpoint
+    # (shuffle files on disk instead of an extra materialization job)
     if max_bucket_size is not None:
         sizes = _bucket_sizes(bands).filter(F.col("bucket_size") <= max_bucket_size)
         bands = bands.join(sizes.select("band", "band_hash"), ["band", "band_hash"])
@@ -289,9 +290,10 @@ def ngram_jaccard_pairs(
         F.size("sh").alias("n"),
         F.explode("sh").alias("s"),
     )
-    # the df-cap filter and the posting-list groupBy both consume ex —
-    # materialize the exploded shingles once
-    ex = ex.localCheckpoint()
+    # the df-cap gate and the posting-list groupBy both shuffle ex by the
+    # SAME shingle key — exchange reuse evaluates the tokenize/shingle
+    # subtree once (measured faster than a localCheckpoint, and the
+    # shuffle files are disk-backed rather than executor memory)
     keys = (["bucket"] if bucket_col else []) + ["s"]
     if max_shingle_df is not None:
         df_ok = ex.groupBy(*keys).agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_shingle_df)
