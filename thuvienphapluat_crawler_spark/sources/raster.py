@@ -22,6 +22,8 @@ the gated query sanitizes its text to the known set first).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 GLYPH_W, GLYPH_H = 5, 7
@@ -77,8 +79,11 @@ def glyph_rows(ch: str) -> tuple[int, ...]:
     return FONT_5X7.get(ch, _BOX)
 
 
+@lru_cache(maxsize=None)
 def glyph_bitmap(ch: str) -> np.ndarray:
-    """(7, 5) uint8 0/1 bitmap."""
+    """(7, 5) uint8 0/1 bitmap. Memoized: the page rasterizer calls this
+    per character drawn (~10^5-10^6 times per task over a corpus) and the
+    font has a few dozen glyphs — callers only read the array."""
     rows = glyph_rows(ch)
     return np.array(
         [[(r >> (GLYPH_W - 1 - c)) & 1 for c in range(GLYPH_W)] for r in rows],
