@@ -3,14 +3,14 @@
 Scale design (the point of each):
   exact     — one hash-groupBy on a fingerprint column; the 100 TB plan is
               a single shuffle on md5(text), map-side combined.
-  jaccard   — shingle explode → shingle-equi-join to generate candidate
-              pairs (never a cross join), then exact set similarity on the
-              candidates only.
-  minhash   — K portable hash permutations folded per doc (one explode +
-              one groupBy), banded into LSH buckets; candidate pairs come
-              from a self-join on (band, band_hash) — the classic
-              shuffle-friendly near-dup layout: cost is O(docs·K) + bucket
-              joins, not O(docs²).
+  jaccard   — shingle explode → df-capped posting lists per shingle →
+              group-local pair emission (never a cross join), then exact
+              set similarity on the candidates only.
+  minhash   — K portable hash permutations folded ROW-LOCALLY per doc
+              (zero shuffles), banded into LSH buckets; candidate pairs
+              are emitted group-locally from each size-capped bucket's
+              posting list: cost is O(docs·K) + bounded per-bucket
+              quadratics, not O(docs²).
   simhash   — 32-bit sign-sum sketch per doc; near-dups = equal sketch (or
               low Hamming distance via band rotation).
 
